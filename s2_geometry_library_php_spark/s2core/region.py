@@ -1,0 +1,256 @@
+"""S2Region implementations consumed by the coverer and the spatial
+join's region dimension (driver-side).
+
+The S2Region contract (S2Region.php:3-29): ``get_cap_bound()``,
+``get_rect_bound()``, ``contains_cell(cell)``, ``may_intersect_cell(cell)``
+plus vectorized point containment for the refine kernel.
+
+* CapRegion      — S2Cap (S2Cap.php)
+* RectRegion     — S2LatLngRect (S2LatLngRect.php:320-452)
+* LoopRegion     — S2Loop (S2Loop.php:3-25, contains S2Loop.php:601-631)
+* PolygonRegion  — S2Polygon: loops with nesting depth; point inside iff
+                   inside an odd number of loops (S2Polygon.php:3-41,
+                   S2Polygon.php:318-337)
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+
+from . import geom
+from .cell import Cap, Cell, LatLngRect, R1Interval, S1Interval
+
+
+class Region:
+    """Interface (S2Region.php:3-29)."""
+
+    kind = "region"
+
+    def get_cap_bound(self) -> Cap:
+        raise NotImplementedError
+
+    def get_rect_bound(self) -> LatLngRect:
+        raise NotImplementedError
+
+    def contains_cell(self, cell: Cell) -> bool:
+        raise NotImplementedError
+
+    def may_intersect_cell(self, cell: Cell) -> bool:
+        raise NotImplementedError
+
+    def contains_points(self, pts: np.ndarray) -> np.ndarray:
+        """Vectorized containment over (N,3) unit vectors."""
+        raise NotImplementedError
+
+
+class CapRegion(Region):
+    kind = "cap"
+
+    def __init__(self, axis_lat_deg: float, axis_lng_deg: float, angle_rad: float):
+        axis = geom.latlng_to_xyz(
+            np.radians(axis_lat_deg), np.radians(axis_lng_deg)
+        )
+        self.cap = Cap.from_axis_angle(np.asarray(axis, dtype=np.float64), angle_rad)
+
+    def get_cap_bound(self) -> Cap:
+        return self.cap
+
+    def get_rect_bound(self) -> LatLngRect:
+        return self.cap.get_rect_bound()
+
+    def contains_cell(self, cell: Cell) -> bool:
+        return self.cap.contains_cell(cell)
+
+    def may_intersect_cell(self, cell: Cell) -> bool:
+        return self.cap.may_intersect_cell(cell)
+
+    def contains_points(self, pts: np.ndarray) -> np.ndarray:
+        return self.cap.contains_points(pts)
+
+
+class RectRegion(Region):
+    kind = "rect"
+
+    def __init__(
+        self, lat_lo: float, lat_hi: float, lng_lo: float, lng_hi: float
+    ):
+        """Radians; lng_lo > lng_hi represents an antimeridian-crossing
+        rect (S1Interval inverted semantics, S1Interval.php:15-34)."""
+        self.rect = LatLngRect(
+            R1Interval(lat_lo, lat_hi), S1Interval(lng_lo, lng_hi)
+        )
+
+    def get_cap_bound(self) -> Cap:
+        return self.rect.get_cap_bound()
+
+    def get_rect_bound(self) -> LatLngRect:
+        return self.rect
+
+    def contains_cell(self, cell: Cell) -> bool:
+        # Contains its rect bound => contains the cell
+        # (S2LatLngRect.php:330-336 semantics).
+        return self.rect.contains_rect(cell.get_rect_bound())
+
+    def may_intersect_cell(self, cell: Cell) -> bool:
+        return self.rect.intersects_rect(cell.get_rect_bound())
+
+    def contains_points(self, pts: np.ndarray) -> np.ndarray:
+        lat, lng = geom.xyz_to_latlng(np.atleast_2d(pts))
+        out = (self.rect.lat.lo <= lat) & (lat <= self.rect.lat.hi)
+        lo, hi = self.rect.lng.lo, self.rect.lng.hi
+        lng = np.where(lng == -math.pi, math.pi, lng)
+        if self.rect.lng.is_inverted():
+            out &= (lng >= lo) | (lng <= hi)
+        else:
+            out &= (lng >= lo) & (lng <= hi)
+        return out
+
+
+class LoopRegion(Region):
+    """Single CCW vertex chain; interior on the left (S2Loop.php:3-25)."""
+
+    kind = "loop"
+
+    def __init__(self, vertices_latlng_deg: np.ndarray):
+        """vertices: (M, 2) [lat, lng] degrees, CCW."""
+        v = np.asarray(vertices_latlng_deg, dtype=np.float64)
+        self.vertices = geom.normalize(
+            geom.latlng_to_xyz(np.radians(v[:, 0]), np.radians(v[:, 1]))
+        )
+        self.origin_inside = geom.loop_origin_inside(self.vertices)
+        lat_lo, lat_hi, lng_lo, lng_hi = geom.chain_rect_bound(self.vertices)
+        self.bound = LatLngRect(
+            R1Interval(lat_lo, lat_hi), S1Interval(lng_lo, lng_hi)
+        )
+
+    def get_cap_bound(self) -> Cap:
+        return self.bound.get_cap_bound()
+
+    def get_rect_bound(self) -> LatLngRect:
+        return self.bound
+
+    def contains_points(self, pts: np.ndarray) -> np.ndarray:
+        return geom.loop_contains_points(
+            self.vertices, self.origin_inside, np.atleast_2d(pts)
+        )
+
+    def _boundary_near_cell(self, cell: Cell) -> bool:
+        """True if any loop vertex is in the cell or any loop edge
+        crosses a cell edge."""
+        for v in self.vertices:
+            if cell.contains_point(v):
+                return True
+        cv = cell.get_vertices()
+        m = len(self.vertices)
+        for e in range(m):
+            a = self.vertices[e]
+            b = self.vertices[(e + 1) % m]
+            for k in range(4):
+                if geom.robust_crossing(a, b, cv[k], cv[(k + 1) & 3]) > 0:
+                    return True
+        return False
+
+    def contains_cell(self, cell: Cell) -> bool:
+        """Cell ⊆ loop iff all 4 cell vertices inside and the loop
+        boundary stays clear of the cell (filter/refine exactness; the
+        reference's version builds a cell loop and does loop-vs-loop,
+        S2Loop.php:365-522 — same result for valid loops)."""
+        if not self.bound.contains_rect(cell.get_rect_bound()):
+            return False
+        if self._boundary_near_cell(cell):
+            return False
+        return bool(np.all(self.contains_points(cell.get_vertices())))
+
+    def may_intersect_cell(self, cell: Cell) -> bool:
+        if not self.bound.intersects_rect(cell.get_rect_bound()):
+            return False
+        if self._boundary_near_cell(cell):
+            return True
+        return bool(np.any(self.contains_points(cell.get_vertices())))
+
+
+class PolygonRegion(Region):
+    """Loops with nesting depth; point inside iff inside an odd number
+    of loops (S2Polygon.php:3-41, contains S2Polygon.php:318-337)."""
+
+    kind = "polygon"
+
+    def __init__(self, loops: list[LoopRegion]):
+        self.loops = loops
+        # combined rect bound = union over shells; conservative: union
+        # over all loops (S2Polygon init computes union of loop bounds
+        # at depth 0; holes are inside shells so the union is the same).
+        bound = LatLngRect.empty()
+        lat = R1Interval.empty()
+        lngs: list[S1Interval] = []
+        for lp in loops:
+            lat = lat.union(lp.bound.lat)
+            lngs.append(lp.bound.lng)
+        lng = lngs[0] if lngs else S1Interval.empty()
+        for other in lngs[1:]:
+            # grow lng interval to include the other's endpoints
+            if lng.contains_interval(other):
+                continue
+            lng = lng.add_point(other.lo)
+            lng = lng.add_point(other.hi)
+        self.bound = LatLngRect(lat, lng) if loops else bound
+
+    def get_cap_bound(self) -> Cap:
+        return self.bound.get_cap_bound()
+
+    def get_rect_bound(self) -> LatLngRect:
+        return self.bound
+
+    def contains_points(self, pts: np.ndarray) -> np.ndarray:
+        pts = np.atleast_2d(pts)
+        inside = np.zeros(len(pts), dtype=bool)
+        for lp in self.loops:
+            inside ^= lp.contains_points(pts)
+        return inside
+
+    def contains_cell(self, cell: Cell) -> bool:
+        if not self.bound.contains_rect(cell.get_rect_bound()):
+            return False
+        for lp in self.loops:
+            if lp._boundary_near_cell(cell):
+                return False
+        return bool(np.all(self.contains_points(cell.get_vertices())))
+
+    def may_intersect_cell(self, cell: Cell) -> bool:
+        if not self.bound.intersects_rect(cell.get_rect_bound()):
+            return False
+        for lp in self.loops:
+            if lp._boundary_near_cell(cell):
+                return True
+        return bool(np.any(self.contains_points(cell.get_vertices())))
+
+
+def region_from_params(
+    kind: str, params: list[float], loop_offsets: list[int] | None = None
+) -> Region:
+    """Build a region from the FIXTURES.md §2 table encoding.
+
+    cap:  [axis_lat_deg, axis_lng_deg, angle_rad]
+    rect: [lat_lo, lat_hi, lng_lo, lng_hi] radians
+    loop: [lat0, lng0, lat1, lng1, ...] degrees CCW
+    polygon: same + loop_offsets = start index of each loop in params
+             (offsets count (lat, lng) pairs).
+    """
+    if kind == "cap":
+        return CapRegion(params[0], params[1], params[2])
+    if kind == "rect":
+        return RectRegion(params[0], params[1], params[2], params[3])
+    if kind == "loop":
+        pts = np.asarray(params, dtype=np.float64).reshape(-1, 2)
+        return LoopRegion(pts)
+    if kind == "polygon":
+        pts = np.asarray(params, dtype=np.float64).reshape(-1, 2)
+        offsets = list(loop_offsets or [0]) + [len(pts)]
+        loops = [
+            LoopRegion(pts[offsets[k] : offsets[k + 1]])
+            for k in range(len(offsets) - 1)
+        ]
+        return PolygonRegion(loops)
+    raise ValueError(f"unknown region kind: {kind}")

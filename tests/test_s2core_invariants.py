@@ -1,0 +1,248 @@
+"""Re-derived S2 invariants (SURVEY.md §5.2 item 2) — seeded,
+deterministic property tests over the s2core kernels."""
+
+import numpy as np
+import pytest
+
+from s2_geometry_library_php_spark.s2core import cellid as cid
+from s2_geometry_library_php_spark.s2core import geom
+from s2_geometry_library_php_spark.s2core.cell import Cell
+from s2_geometry_library_php_spark.s2core.coverer import (
+    RegionCoverer,
+    denormalize,
+    expand_cell_union,
+    normalize_cell_union,
+)
+from s2_geometry_library_php_spark.s2core.region import (
+    CapRegion,
+    LoopRegion,
+    PolygonRegion,
+    RectRegion,
+)
+
+RNG = np.random.default_rng(42)
+N = 10_000
+LAT = RNG.uniform(-89.9, 89.9, N)
+LNG = RNG.uniform(-179.9, 179.9, N)
+IDS = cid.cell_id_from_latlng_degrees(LAT, LNG)
+
+
+def test_encode_decode_identity():
+    clat, clng = cid.cell_id_to_center_latlng(IDS)
+    again = cid.cell_id_from_latlng_radians(clat, clng)
+    assert np.array_equal(IDS, again)
+
+
+def test_all_leaf_and_level():
+    assert np.all(cid.is_leaf(IDS))
+    assert np.all(cid.level_of(IDS) == 30)
+
+
+def test_parent_contains_child_all_levels():
+    for level in (0, 1, 5, 12, 20, 29):
+        p = cid.parent(IDS, level)
+        assert np.all(cid.level_of(p) == level)
+        assert np.all(cid.range_min(p) <= IDS)
+        assert np.all(IDS <= cid.range_max(p))
+
+
+def test_parent_is_prefix_stable():
+    # parent(parent(id, 12), 5) == parent(id, 5)
+    p12 = cid.parent(IDS, 12)
+    assert np.array_equal(cid.parent(p12, 5), cid.parent(IDS, 5))
+
+
+def test_scalar_decode_matches_vectorized():
+    face, i, j, orient = cid.cell_to_face_ij_orientation(IDS[:500])
+    for k in range(500):
+        f, ii, jj, oo = cid.decode_scalar(int(IDS[k]))
+        assert (f, ii, jj, oo) == (
+            int(face[k]),
+            int(i[k]),
+            int(j[k]),
+            int(orient[k]),
+        )
+
+
+def test_face_boundary_and_pole_cases():
+    # 6 face centers, 8 cube corners, poles, antimeridian
+    special_lat = [0, 0, 90, 0, 0, -90, 45, -45, 90, -90, 0, 0]
+    special_lng = [0, 90, 0, 180, -90, 0, 45, -135, 123, -45, 180, -180]
+    ids = cid.cell_id_from_latlng_degrees(
+        np.array(special_lat, dtype=float), np.array(special_lng, dtype=float)
+    )
+    assert np.all(cid.is_leaf(ids))
+    clat, clng = cid.cell_id_to_center_latlng(ids)
+    again = cid.cell_id_from_latlng_radians(clat, clng)
+    assert np.array_equal(ids, again)
+
+
+def test_token_roundtrip_random():
+    toks = cid.token_from_id(IDS[:2000])
+    back = cid.id_from_token(toks)
+    assert np.array_equal(IDS[:2000], back)
+    for t in toks[:100]:
+        assert not t.endswith("0") and 1 <= len(t) <= 16
+
+
+def test_edge_neighbors_are_symmetric():
+    ids = cid.parent(IDS[:300], 10)
+    nbrs = cid.edge_neighbors(ids)
+    assert np.all(cid.level_of(nbrs.ravel()) == 10)
+    # neighbor-of-neighbor contains the original
+    for k in range(50):
+        back = cid.edge_neighbors(nbrs[k])
+        assert int(ids[k]) in {int(x) for x in back.ravel()}
+
+
+def test_all_neighbors_contains_edge_neighbors():
+    ids = cid.parent(IDS[:200], 8)
+    ring8 = cid.all_neighbors(ids)
+    ring4 = cid.edge_neighbors(ids)
+    for k in range(len(ids)):
+        assert {int(x) for x in ring4[k]} <= {int(x) for x in ring8[k]}
+        assert int(ids[k]) not in {int(x) for x in ring8[k]}
+
+
+def test_normalize_collapses_siblings_and_dedups():
+    pid = int(cid.parent(IDS[:1], 7)[0])
+    arr = np.asarray([pid], dtype=np.uint64)
+    kids = []
+    c = int(cid.child_begin(arr)[0])
+    for _ in range(4):
+        kids.append(c)
+        c = int(cid.next_cell(np.asarray([c], dtype=np.uint64))[0])
+    assert normalize_cell_union(kids) == [pid]
+    # contained cells dropped; idempotent
+    mixed = kids + [pid, int(cid.parent(np.asarray([pid], dtype=np.uint64), 3)[0])]
+    out = normalize_cell_union(mixed)
+    assert out == normalize_cell_union(out)
+    assert len(out) == 1  # everything inside the level-3 ancestor
+
+
+def test_denormalize_respects_min_level():
+    pid = int(cid.parent(IDS[:1], 4)[0])
+    out = denormalize([pid], 6, 1)
+    arr = np.asarray(out, dtype=np.uint64)
+    assert np.all(cid.level_of(arr) == 6)
+    assert len(out) == 16
+
+
+def test_range_partition_of_leaf_space():
+    # children ranges tile the parent range exactly
+    pid = int(cid.parent(IDS[:1], 9)[0])
+    arr = np.asarray([pid], dtype=np.uint64)
+    kids = []
+    c = int(cid.child_begin(arr)[0])
+    for _ in range(4):
+        kids.append(c)
+        c = int(cid.next_cell(np.asarray([c], dtype=np.uint64))[0])
+    karr = np.asarray(kids, dtype=np.uint64)
+    los, his = cid.range_min(karr), cid.range_max(karr)
+    assert int(los[0]) == int(cid.range_min(arr)[0])
+    assert int(his[-1]) == int(cid.range_max(arr)[0])
+    for k in range(3):
+        assert int(his[k]) + 2 == int(los[k + 1])
+
+
+@pytest.mark.parametrize("max_cells", [4, 8, 20])
+def test_cap_covering_superset_interior_subset(max_cells):
+    cap = CapRegion(40.0, -100.0, 0.05)
+    cov = RegionCoverer(max_cells=max_cells).get_covering(cap)
+    assert len(cov) <= max(max_cells, 6)
+    interior = RegionCoverer(max_cells=max_cells, max_level=14).get_interior_covering(cap)
+    lat = RNG.uniform(35, 45, 4000)
+    lng = RNG.uniform(-106, -94, 4000)
+    pts = geom.latlng_to_xyz(np.radians(lat), np.radians(lng))
+    inside = cap.contains_points(pts)
+    leaf = cid.cell_id_from_latlng_degrees(lat, lng)
+
+    def covered(cells):
+        arr = np.asarray(cells, dtype=np.uint64)
+        out = np.zeros(len(leaf), dtype=bool)
+        for lo, hi in zip(cid.range_min(arr), cid.range_max(arr)):
+            out |= (leaf >= lo) & (leaf <= hi)
+        return out
+
+    assert np.all(covered(cov)[inside])  # covering ⊇ region
+    assert np.all(inside[covered(interior)])  # interior ⊆ region
+
+
+def test_loop_parity_invariant_under_rotation():
+    verts = np.array([[10.0, 10.0], [10.0, 20.0], [20.0, 20.0], [20.0, 15.0], [20.0, 10.0]])
+    lat = RNG.uniform(5, 25, 2000)
+    lng = RNG.uniform(5, 25, 2000)
+    pts = geom.latlng_to_xyz(np.radians(lat), np.radians(lng))
+    base = LoopRegion(verts).contains_points(pts)
+    for shift in (1, 2, 3):
+        rotated = LoopRegion(np.roll(verts, shift, axis=0))
+        assert np.array_equal(base, rotated.contains_points(pts))
+
+
+def test_loop_invert_complements():
+    verts = np.array([[10.0, 10.0], [10.0, 20.0], [20.0, 20.0], [20.0, 10.0]])
+    inverted = LoopRegion(verts[::-1])
+    lat = RNG.uniform(-60, 60, 2000)
+    lng = RNG.uniform(-170, 170, 2000)
+    pts = geom.latlng_to_xyz(np.radians(lat), np.radians(lng))
+    inside = LoopRegion(verts).contains_points(pts)
+    outside = inverted.contains_points(pts)
+    assert np.array_equal(inside, ~outside)
+
+
+def test_polygon_hole_parity():
+    shell = LoopRegion(np.array([[30.0, 10.0], [30.0, 20.0], [40.0, 20.0], [40.0, 10.0]]))
+    hole = LoopRegion(np.array([[33.0, 13.0], [33.0, 17.0], [37.0, 17.0], [37.0, 13.0]]))
+    poly = PolygonRegion([shell, hole])
+    pts = geom.latlng_to_xyz(
+        np.radians(np.array([35.0, 31.0, 45.0])),
+        np.radians(np.array([15.0, 15.0, 15.0])),
+    )
+    inside = poly.contains_points(pts)
+    assert list(inside) == [False, True, False]  # in hole, in ring, outside
+
+
+def test_rect_antimeridian_wrap():
+    r = RectRegion(np.radians(-10), np.radians(10), np.radians(170), np.radians(-170))
+    pts = geom.latlng_to_xyz(
+        np.radians(np.array([0.0, 0.0, 0.0])),
+        np.radians(np.array([175.0, -175.0, 0.0])),
+    )
+    assert list(r.contains_points(pts)) == [True, True, False]
+
+
+def test_expand_cell_union_buffers():
+    base = int(cid.parent(IDS[:1], 10)[0])
+    out = expand_cell_union([base], 10)
+    arr = np.asarray(out, dtype=np.uint64)
+    ring = {int(x) for x in cid.all_neighbors(np.asarray([base], dtype=np.uint64)).ravel()}
+
+    def covered(cells, probe):
+        a = np.asarray(cells, dtype=np.uint64)
+        lo, hi = cid.range_min(a), cid.range_max(a)
+        p = np.uint64(probe)
+        return bool(np.any((lo <= p) & (p <= hi)))
+
+    assert covered(out, base)
+    for nbr in ring:
+        assert covered(out, nbr)
+
+
+def test_cell_exact_area_sums_to_sphere():
+    # 6 faces * 4^2 level-2 cells cover the sphere: total area = 4*pi
+    total = 0.0
+    for face in range(6):
+        f = Cell.from_face(face)
+        for c1 in f.children():
+            for c2 in c1.children():
+                total += c2.exact_area()
+    assert total == pytest.approx(4 * np.pi, rel=1e-9)
+
+
+def test_robust_ccw_antisymmetry():
+    pts = geom.latlng_to_xyz(np.radians(LAT[:300]), np.radians(LNG[:300]))
+    for k in range(0, 297, 3):
+        a, b, c = pts[k], pts[k + 1], pts[k + 2]
+        s1 = geom.robust_ccw(a, b, c)
+        assert geom.robust_ccw(c, b, a) == -s1
+        assert geom.robust_ccw(b, c, a) == s1
