@@ -1,0 +1,159 @@
+"""kNN via cell-neighbor ring expansion + window top-k (SURVEY.md §2.7).
+
+The reference has no kNN operator; this composes its primitives the
+way its edge index composes candidates: seed at the probe's level-L
+cell, widen with the 8-neighborhood ring (the ``getAllNeighbors`` the
+port references but never defines, S2CellUnion.php:383), then exact
+re-rank with the stable ``angle()`` distance (S2Point.php:110-112).
+
+Correctness guarantee: a probe's candidate ring (3x3 cells at level
+L) contains every point within MIN_WIDTH(L) of the probe — one full
+cell of padding beyond the probe's own cell.  If the k-th best
+candidate distance < MIN_WIDTH(L) the result is provably exact;
+probes that fail the guarantee (or have < k candidates) are retried
+at a coarser level, driver-side loop (mirrors the reference's
+adaptive brute-force-vs-index switch, S2EdgeIndex.php:162-204).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.sql_bitops import s2_parent
+from ..functions.udfs import s2_cell_id
+from ..s2core.metric import MIN_WIDTH
+
+
+def _exact_distance(plat, plon, dlat, dlon):
+    """Great-circle angle via native columns: the chord/atan2 form
+    sin/cos expansion of S2Point.angle — stable for small angles."""
+    # angle = atan2(|p x q|, p.q); expand via lat/lon trig, all JVM-side.
+    plat_r, plon_r = F.radians(plat), F.radians(plon)
+    dlat_r, dlon_r = F.radians(dlat), F.radians(dlon)
+    px = F.cos(plon_r) * F.cos(plat_r)
+    py = F.sin(plon_r) * F.cos(plat_r)
+    pz = F.sin(plat_r)
+    qx = F.cos(dlon_r) * F.cos(dlat_r)
+    qy = F.sin(dlon_r) * F.cos(dlat_r)
+    qz = F.sin(dlat_r)
+    cx = py * qz - pz * qy
+    cy = pz * qx - px * qz
+    cz = px * qy - py * qx
+    cross = F.sqrt(cx * cx + cy * cy + cz * cz)
+    dot = px * qx + py * qy + pz * qz
+    return F.atan2(cross, dot)
+
+
+def knn_brute_force(
+    probes: DataFrame,
+    docs: DataFrame,
+    k: int,
+    probe_id: str = "probe_id",
+    doc_id: str = "doc_id",
+) -> DataFrame:
+    """Exact baseline: broadcast probes x docs, window top-k.
+    O(P x N) — the oracle for tests and fine for small P."""
+    p = probes.select(
+        F.col(probe_id),
+        F.col("lat").alias("_plat"),
+        F.col("lon").alias("_plon"),
+    )
+    joined = docs.crossJoin(F.broadcast(p))
+    dist = _exact_distance(
+        F.col("_plat"), F.col("_plon"), F.col("lat"), F.col("lon")
+    ).alias("dist_rad")
+    w = Window.partitionBy(probe_id).orderBy(
+        F.col("dist_rad").asc(), F.col(doc_id).asc()
+    )
+    return (
+        joined.select(probe_id, doc_id, dist)
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )
+
+
+def knn_join(
+    spark: SparkSession,
+    probes: DataFrame,
+    docs: DataFrame,
+    k: int,
+    start_level: int = 10,
+    probe_id: str = "probe_id",
+    doc_id: str = "doc_id",
+    leaf_col: str = "cell_id",
+    max_rounds: int = 6,
+) -> DataFrame:
+    """Scalable kNN: equi-join docs' level-L prefix against each
+    probe's 3x3 ring, exact re-rank, provable-exactness check, coarser
+    retry for unsatisfied probes.
+
+    ``docs`` must carry the leaf ``cell_id``; probes need (probe_id,
+    lat, lon).
+    """
+    from ..functions.udfs import s2_all_neighbors_udf
+
+    remaining = probes.select(
+        probe_id, F.col("lat").alias("_plat"), F.col("lon").alias("_plon")
+    ).withColumn("_pleaf", s2_cell_id(F.col("_plat"), F.col("_plon")))
+    results: list[DataFrame] = []
+    level = start_level
+    for _ in range(max_rounds):
+        if level < 0:
+            break
+        ring = remaining.withColumn("_center", s2_parent(F.col("_pleaf"), level))
+        ring = ring.withColumn(
+            "_ringcells",
+            F.array_union(
+                F.array(F.col("_center")), s2_all_neighbors_udf(F.col("_center"))
+            ),
+        ).withColumn("_cand_cell", F.explode("_ringcells")).drop("_ringcells")
+
+        cand = ring.join(
+            docs.withColumn("_dcell", s2_parent(F.col(leaf_col), level)),
+            F.col("_cand_cell") == F.col("_dcell"),
+            "inner",
+        )
+        dist = _exact_distance(
+            F.col("_plat"), F.col("_plon"), F.col("lat"), F.col("lon")
+        ).alias("dist_rad")
+        w = Window.partitionBy(probe_id).orderBy(
+            F.col("dist_rad").asc(), F.col(doc_id).asc()
+        )
+        topk = (
+            cand.select(probe_id, doc_id, dist)
+            .withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+        )
+        # Exactness: k candidates found AND kth distance < MIN_WIDTH(L).
+        guarantee = float(MIN_WIDTH.get_value(level))
+        stats = topk.groupBy(probe_id).agg(
+            F.count(F.lit(1)).alias("_n"), F.max("dist_rad").alias("_kth")
+        )
+        ok_ids = stats.where(
+            (F.col("_n") >= k) & (F.col("_kth") < F.lit(guarantee))
+        ).select(probe_id)
+        results.append(topk.join(F.broadcast(ok_ids), probe_id, "leftsemi"))
+        remaining = remaining.join(F.broadcast(ok_ids), probe_id, "leftanti")
+        if remaining.isEmpty():
+            remaining = None
+            break
+        level -= 2  # 16x coarser candidate cells per round
+    if remaining is not None and not remaining.isEmpty():
+        # Final fallback: brute force for the stragglers (rare).
+        fallback = knn_brute_force(
+            remaining.select(
+                probe_id,
+                F.col("_plat").alias("lat"),
+                F.col("_plon").alias("lon"),
+            ),
+            docs,
+            k,
+            probe_id=probe_id,
+            doc_id=doc_id,
+        )
+        results.append(fallback)
+    out = results[0]
+    for r in results[1:]:
+        out = out.unionByName(r)
+    return out

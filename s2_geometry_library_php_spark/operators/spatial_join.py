@@ -1,0 +1,277 @@
+"""The flagship operator: distributed point-in-region spatial join.
+
+Design (SURVEY.md §2.7, replacing the reference's single-machine
+``S2EdgeIndex`` probe, S2EdgeIndex.php:85-147,385-448):
+
+1. **Plan-time covering build (driver)**: for each region, compute an
+   exterior covering (candidate superset) and an interior covering
+   (containment-certain subset).  Interior cells are subtracted from
+   the exterior set so each candidate row is either ``is_interior``
+   (skip refine) or boundary (needs the exact kernel) — the
+   filter/refine optimization the reference encodes as interior
+   coverings (S2RegionCoverer.php:257-267).
+
+2. **Broadcast equi-join on banded prefixes**: each covering cell at
+   level L matches probes via ``s2_parent(leaf_id, L) = cell_id`` — a
+   pure hash equi-join per distinct level (few: coverings hold <=
+   max_cells cells across ~4-6 levels), unioned via ``explode`` of a
+   per-probe prefix array.  No theta/range join, no shuffle of the
+   (big) probe side: the covering table is broadcast
+   (north rule: "broadcast of covering-cell polygon indexes").
+
+3. **Refine**: survivors matched through a boundary cell run the
+   vectorized ``contains_points`` kernel (loop parity / cap chord /
+   rect interval) via a pandas UDF over Arrow batches; interior
+   matches pass through untouched.
+
+At 100 TB scale: stage 2 is map-side only (scan -> project -> BHJ);
+the only shuffles in a typical pipeline are the caller's final
+aggregations.  Skewed hot tiles don't matter for the join itself
+(broadcast joins don't shuffle by key); skew handling matters for the
+downstream groupBys and is provided by ``tiling.salted_repartition``.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    BooleanType,
+    DoubleType,
+    IntegerType,
+    LongType,
+    StructField,
+    StructType,
+)
+
+from ..s2core import cellid as cid
+from ..s2core.coverer import RegionCoverer, normalize_cell_union
+from ..s2core.region import Region, region_from_params
+
+COVERING_SCHEMA = StructType(
+    [
+        StructField("region_id", LongType()),
+        StructField("cov_cell", LongType()),
+        StructField("cov_level", IntegerType()),
+        StructField("is_interior", BooleanType()),
+    ]
+)
+
+
+def compute_coverings(
+    regions: list[dict],
+    max_cells: int = 8,
+    min_level: int = 0,
+    max_level: int = 30,
+    interior_max_cells: int = 32,
+    interior_max_level: int = 12,
+    interior_max_candidates: int = 1500,
+) -> list[tuple[int, int, int, bool]]:
+    """Driver-side covering rows: (region_id, cell_id_signed, level,
+    is_interior).  Memoized — coverings are deterministic functions of
+    the region spec + parameters."""
+    key = (
+        tuple(
+            (r["region_id"], r["kind"], tuple(r["params"]),
+             tuple(r.get("loop_offsets") or ()))
+            for r in regions
+        ),
+        max_cells, min_level, max_level,
+        interior_max_cells, interior_max_level, interior_max_candidates,
+    )
+    cached = _COVERING_CACHE.get(key)
+    if cached is not None:
+        return cached
+    rows: list[tuple[int, int, int, bool]] = []
+    for spec in regions:
+        region = region_from_params(
+            spec["kind"], spec["params"], spec.get("loop_offsets")
+        )
+        rid = int(spec["region_id"])
+        coverer = RegionCoverer(
+            min_level=min_level, max_level=max_level, max_cells=max_cells
+        )
+        exterior = coverer.get_covering(region)
+        interior = RegionCoverer(
+            min_level=min_level,
+            max_level=interior_max_level,
+            max_cells=interior_max_cells,
+            max_candidates=interior_max_candidates,
+        ).get_interior_covering(region)
+        interior = normalize_cell_union(interior)
+        # Emit DISJOINT rows: boundary = exterior \ interior (cell-set
+        # difference) + interior.  Disjointness guarantees a probe
+        # matches at most one covering row per region, so the join
+        # needs no post-dedup (no extra shuffle), and interior matches
+        # skip the refine kernel entirely
+        # (S2RegionCoverer.php:257-267 filter/refine split).
+        boundary = cell_union_difference(exterior, interior)
+        for c in boundary:
+            rows.append((rid, _sig(c), _lvl(c), False))
+        for c in interior:
+            rows.append((rid, _sig(c), _lvl(c), True))
+    _COVERING_CACHE[key] = rows
+    return rows
+
+
+_COVERING_CACHE: dict = {}
+
+
+def cell_union_difference(a_cells: list[int], b_cells: list[int]) -> list[int]:
+    """Normalized cell set A \\ B (S2CellUnion getDifference semantics,
+    S2CellUnion.php:227-313 family): split A cells recursively until
+    disjoint from or contained in B."""
+    if not b_cells:
+        return list(a_cells)
+    b_ranges = sorted(
+        ((c - ((c & -c) - 1)) & 0xFFFFFFFFFFFFFFFF,
+         (c + ((c & -c) - 1)) & 0xFFFFFFFFFFFFFFFF)
+        for c in (x & 0xFFFFFFFFFFFFFFFF for x in b_cells)
+    )
+
+    def overlaps(lo: int, hi: int) -> str:
+        # returns 'none' | 'full' | 'partial' vs the b range set
+        for blo, bhi in b_ranges:
+            if bhi < lo:
+                continue
+            if blo > hi:
+                break
+            if blo <= lo and hi <= bhi:
+                return "full"
+            return "partial"
+        return "none"
+
+    out: list[int] = []
+
+    def rec(c: int) -> None:
+        lsb = c & (-c & 0xFFFFFFFFFFFFFFFF)
+        lo, hi = c - (lsb - 1), c + (lsb - 1)
+        state = overlaps(lo, hi)
+        if state == "none":
+            out.append(c)
+            return
+        if state == "full":
+            return
+        # split into 4 children
+        child = c - lsb + (lsb >> 2)
+        step = (lsb >> 2) << 1
+        for k in range(4):
+            rec(child + k * step)
+
+    for c in (x & 0xFFFFFFFFFFFFFFFF for x in a_cells):
+        rec(c)
+    return normalize_cell_union(out)
+
+
+def _sig(u: int) -> int:
+    u &= 0xFFFFFFFFFFFFFFFF
+    return u - (1 << 64) if u >= 1 << 63 else u
+
+
+def _lvl(u: int) -> int:
+    lsb = u & (-u & 0xFFFFFFFFFFFFFFFF)
+    return cid.MAX_LEVEL - ((lsb.bit_length() - 1) >> 1)
+
+
+def build_covering_table(
+    spark: SparkSession, regions: list[dict], **kwargs
+) -> DataFrame:
+    rows = compute_coverings(regions, **kwargs)
+    return spark.createDataFrame(rows, COVERING_SCHEMA)
+
+
+def _refine_udf(regions: list[dict]):
+    """Pandas UDF closure: exact containment for (lat, lon, region_id)
+    batches. Region objects are rebuilt once per executor (closure
+    serialization), then containment is one vectorized kernel call per
+    region present in the batch."""
+
+    specs = {int(r["region_id"]): r for r in regions}
+    cache: dict[int, Region] = {}
+
+    @F.pandas_udf(BooleanType())
+    def refine(lat: pd.Series, lon: pd.Series, region_id: pd.Series) -> pd.Series:
+        from ..s2core import geom
+
+        out = np.zeros(len(lat), dtype=bool)
+        if len(lat) == 0:
+            return pd.Series(out)
+        rid_arr = region_id.to_numpy(np.int64)
+        lat_arr = np.radians(lat.to_numpy(np.float64))
+        lon_arr = np.radians(lon.to_numpy(np.float64))
+        pts = geom.latlng_to_xyz(lat_arr, lon_arr)
+        for rid in np.unique(rid_arr):
+            spec = specs[int(rid)]
+            if int(rid) not in cache:
+                cache[int(rid)] = region_from_params(
+                    spec["kind"], spec["params"], spec.get("loop_offsets")
+                )
+            mask = rid_arr == rid
+            out[mask] = cache[int(rid)].contains_points(pts[mask])
+        return pd.Series(out)
+
+    return refine
+
+
+def spatial_join(
+    spark: SparkSession,
+    docs: DataFrame,
+    regions: list[dict],
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+    leaf_col: str = "cell_id",
+    max_cells: int = 8,
+) -> DataFrame:
+    """docs x regions point-in-region join.
+
+    Returns ``docs`` columns + ``region_id``.  ``docs`` must already
+    carry the leaf ``cell_id`` (from ``functions.s2_cell_id``).
+    """
+    cov_rows = compute_coverings(regions, max_cells=max_cells)
+    levels = sorted({lvl for _, _, lvl, _ in cov_rows})
+    cov = spark.createDataFrame(cov_rows, COVERING_SCHEMA)
+
+    # Probe side: one prefix key per covering level present (a small
+    # array -> explode; stays narrow, no shuffle).
+    prefix_cols = F.array(
+        *[
+            F.struct(
+                F.lit(lvl).alias("lvl"),
+                _parent_col(F.col(leaf_col), lvl).alias("prefix"),
+            )
+            for lvl in levels
+        ]
+    )
+    probe = docs.withColumn("_pfx", F.explode(prefix_cols)).select(
+        "*", F.col("_pfx.lvl").alias("_lvl"), F.col("_pfx.prefix").alias("_prefix")
+    ).drop("_pfx")
+
+    joined = probe.join(
+        F.broadcast(cov),
+        (F.col("_prefix") == F.col("cov_cell"))
+        & (F.col("_lvl") == F.col("cov_level")),
+        "inner",
+    )
+
+    # Covering rows are disjoint per region, so no dedup is needed.
+    # Split interior (certain) from boundary (refine) — a union of two
+    # narrow branches, still shuffle-free.
+    doc_cols = [c for c in docs.columns]
+    out_cols = [*doc_cols, "region_id"]
+    interior_hits = joined.where(F.col("is_interior")).select(*out_cols)
+    refine = _refine_udf(regions)
+    boundary_hits = (
+        joined.where(~F.col("is_interior"))
+        .where(refine(F.col(lat_col), F.col(lon_col), F.col("region_id")))
+        .select(*out_cols)
+    )
+    return interior_hits.unionByName(boundary_hits)
+
+
+def _parent_col(cell_id, level: int):
+    lsb = 1 << (2 * (cid.MAX_LEVEL - level))
+    neg = _sig(-lsb & 0xFFFFFFFFFFFFFFFF)
+    return cell_id.bitwiseAND(F.lit(neg)).bitwiseOR(F.lit(lsb))

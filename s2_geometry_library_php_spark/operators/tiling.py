@@ -1,0 +1,190 @@
+"""Tiling / multi-resolution rollup operators (SURVEY.md §2.8).
+
+The Spark-native realization of the reference's cell hierarchy: tile
+assignment is a pure bitwise parent expression
+(S2CellId.php:330-340), so tile group-bys stay entirely inside
+whole-stage codegen; partial+final aggregation comes free from
+Catalyst.
+
+Centroids add linearly (documented at S2.php:369-399): per-tile
+centroid = normalize(sum of unit xyz), computed with native trig
+columns — no Python.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from ..functions.sql_bitops import s2_parent, s2_token_sql, sql_s2_parent
+
+MAX_LEVEL = 30
+
+
+def with_xyz(df: DataFrame, lat_col: str = "lat", lon_col: str = "lon") -> DataFrame:
+    """Unit-vector columns from degrees (S2LatLng.php:138-143), native."""
+    lat_r = F.radians(F.col(lat_col))
+    lon_r = F.radians(F.col(lon_col))
+    return (
+        df.withColumn("_x", F.cos(lon_r) * F.cos(lat_r))
+        .withColumn("_y", F.sin(lon_r) * F.cos(lat_r))
+        .withColumn("_z", F.sin(lat_r))
+    )
+
+
+def tile_aggregate(
+    docs: DataFrame,
+    level: int,
+    leaf_col: str = "cell_id",
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+    distinct_col: str | None = None,
+) -> DataFrame:
+    """Per-tile stats at one level: count, centroid, approx distinct.
+
+    Output: (tile_id, tile_token, doc_count, centroid_lat, centroid_lon
+    [, approx_distinct]).
+    """
+    tile = s2_parent(F.col(leaf_col), level).alias("tile_id")
+    base = with_xyz(docs, lat_col, lon_col).groupBy(tile)
+    aggs = [
+        F.count(F.lit(1)).alias("doc_count"),
+        F.sum("_x").alias("_sx"),
+        F.sum("_y").alias("_sy"),
+        F.sum("_z").alias("_sz"),
+    ]
+    if distinct_col is not None:
+        aggs.append(F.approx_count_distinct(distinct_col).alias("approx_distinct"))
+    out = base.agg(*aggs)
+    norm = F.sqrt(
+        F.col("_sx") * F.col("_sx")
+        + F.col("_sy") * F.col("_sy")
+        + F.col("_sz") * F.col("_sz")
+    )
+    out = (
+        out.withColumn(
+            "centroid_lat",
+            F.degrees(F.atan2(F.col("_sz"), F.hypot(F.col("_sx"), F.col("_sy")))),
+        )
+        .withColumn("centroid_lon", F.degrees(F.atan2(F.col("_sy"), F.col("_sx"))))
+        .withColumn("tile_token", s2_token_sql("tile_id"))
+        .drop("_sx", "_sy", "_sz")
+    )
+    _ = norm  # centroid via atan2 needs no explicit normalization
+    return out
+
+
+def tile_rollup(
+    tiles: DataFrame,
+    from_level: int,
+    to_levels: list[int],
+    tile_col: str = "tile_id",
+    count_col: str = "doc_count",
+) -> DataFrame:
+    """Roll a fine tiling up to coarser levels by re-grouping on the
+    parent id — each rollup consumes the PREVIOUS level's (already
+    tiny) output, not the raw docs, so the chain is nearly free.
+
+    Output: union over levels of (level, tile_id, tile_token,
+    doc_count)."""
+    out = None
+    current = tiles.select(
+        F.lit(from_level).alias("level"),
+        F.col(tile_col).alias("tile_id"),
+        F.col(count_col).alias("doc_count"),
+    )
+    pieces = [current.withColumn("tile_token", s2_token_sql("tile_id"))]
+    prev = current
+    for lvl in sorted(to_levels, reverse=True):
+        if lvl >= from_level:
+            continue
+        rolled = (
+            prev.groupBy(s2_parent(F.col("tile_id"), lvl).alias("tile_id"))
+            .agg(F.sum("doc_count").alias("doc_count"))
+            .select(
+                F.lit(lvl).alias("level"),
+                "tile_id",
+                "doc_count",
+            )
+        )
+        pieces.append(rolled.withColumn("tile_token", s2_token_sql("tile_id")))
+        prev = rolled
+    for p in pieces:
+        out = p if out is None else out.unionByName(p)
+    return out
+
+
+def tile_polygons(tiles: DataFrame, tile_col: str = "tile_id") -> DataFrame:
+    """Vector side of raster<->vector materialization: tile -> corner
+    polygon [lat0,lng0,...lat3,lng3] + center (S2Cell.php:126-138,
+    S2CellId.php:123-159)."""
+    from ..functions.udfs import (
+        s2_cell_center_lat,
+        s2_cell_center_lng,
+        s2_cell_vertices_udf,
+    )
+
+    return (
+        tiles.withColumn("tile_token", s2_token_sql(tile_col))
+        .withColumn("vertices", s2_cell_vertices_udf(F.col(tile_col)))
+        .withColumn("center_lat", s2_cell_center_lat(F.col(tile_col)))
+        .withColumn("center_lon", s2_cell_center_lng(F.col(tile_col)))
+    )
+
+
+def salted_repartition(
+    docs: DataFrame,
+    level: int,
+    salt_buckets: int = 8,
+    leaf_col: str = "cell_id",
+) -> DataFrame:
+    """Defuse hot-tile skew before a wide tile aggregation: spread each
+    level-L prefix over ``salt_buckets`` partitions (north rule:
+    'salted repartitioning on cell-ID prefixes').
+
+    The aggregation that follows still produces correct results —
+    partial aggregation per partition combines at the final stage —
+    this just balances the map-side work for skewed tiles (20% of the
+    synthetic corpus sits in 3 hot tiles, FIXTURES.md §1)."""
+    salt = (F.xxhash64(F.col(leaf_col)) % salt_buckets).cast("int")
+    return docs.repartition(
+        s2_parent(F.col(leaf_col), level), salt
+    )
+
+
+def collapse_full_sibling_tiles(
+    tiles: DataFrame, level: int, tile_col: str = "tile_id"
+) -> DataFrame:
+    """Distributed S2CellUnion.normalize step for data-driven tilings
+    (S2CellUnion.php:619-643 semantics at scale): replace complete
+    4-sibling groups at ``level`` by their parent.  One groupBy per
+    level; callers loop level-by-level.
+
+    Returns a DataFrame with the same schema where any complete group
+    of 4 siblings is replaced by one parent row (other columns
+    aggregated by sum for counts)."""
+    parent = s2_parent(F.col(tile_col), level - 1).alias("_parent")
+    grouped = tiles.groupBy(parent).agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum("doc_count").alias("doc_count"),
+        F.collect_list(tile_col).alias("_members"),
+    )
+    collapsed = grouped.where(F.col("_n") == 4).select(
+        F.col("_parent").alias(tile_col), "doc_count"
+    )
+    kept = (
+        grouped.where(F.col("_n") < 4)
+        .select(F.explode("_members").alias(tile_col))
+        .join(tiles, tile_col, "inner")
+        .select(tile_col, "doc_count")
+    )
+    return collapsed.unionByName(kept)
+
+
+def hilbert_sorted_writer(df: DataFrame, leaf_col: str = "cell_id"):
+    """Write layout: sort by unsigned cell id so files cluster
+    spatially (Hilbert locality) and downstream tile queries prune on
+    min/max stats (SURVEY.md §2.9).  Returns the sorted frame ready
+    for .write."""
+    from ..functions.sql_bitops import s2_unsigned_order
+
+    return df.sortWithinPartitions(s2_unsigned_order(F.col(leaf_col)))

@@ -1,0 +1,46 @@
+"""SparkSession factory tuned for the engine.
+
+Local sandbox runs on ``local[N]``; the same config block is what we
+would pass to ``spark-submit`` on a real cluster (AQE on, skew join
+on, Arrow batching for the pandas UDF kernels).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "s2-spark-engine",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+) -> SparkSession:
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    master = master or f"local[{cpus}]"
+    shuffle_partitions = shuffle_partitions or max(cpus, 8)
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        # AQE: runtime coalescing + skew-join splitting (hot tiles).
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        # Arrow IPC for pandas UDFs — the only JVM<->Python crossing.
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
+        # Broadcast the covering table even if stats are conservative.
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.extraJavaOptions", "-Djava.net.preferIPv4Stack=true")
+    )
+    return builder.getOrCreate()
+
+
+def stop_spark() -> None:
+    active = SparkSession.getActiveSession()
+    if active is not None:
+        active.stop()

@@ -564,6 +564,24 @@ class Cell:
             and self.uv[1][0] <= v <= self.uv[1][1]
         )
 
+    def contains_points_xyz(self, pts: np.ndarray) -> np.ndarray:
+        """Vectorized contains over (N,3) unit vectors."""
+        pts = np.atleast_2d(pts)
+        f = self.face
+        comp = pts[:, f % 3]
+        ok = comp > 0 if f < 3 else comp < 0
+        with np.errstate(divide="ignore", invalid="ignore"):
+            u, v = cid.valid_face_xyz_to_uv(
+                np.full(len(pts), f), pts[:, 0], pts[:, 1], pts[:, 2]
+            )
+        return (
+            ok
+            & (self.uv[0][0] <= u)
+            & (u <= self.uv[0][1])
+            & (self.uv[1][0] <= v)
+            & (v <= self.uv[1][1])
+        )
+
     def _get_latitude(self, i: int, j: int) -> float:
         x, y, z = cid.face_uv_to_xyz_scalar(self.face, self.uv[0][i], self.uv[1][j])
         return math.atan2(z, math.sqrt(x * x + y * y))

@@ -52,11 +52,21 @@ class RegionCoverer:
         max_level: int = cid.MAX_LEVEL,
         level_mod: int = 1,
         max_cells: int = DEFAULT_MAX_CELLS,
+        max_candidates: int | None = None,
     ):
+        """``max_candidates``: optional work budget for INTERIOR
+        coverings only — the boundary-refinement chase of a thin or
+        disjoint region can visit tens of thousands of candidates
+        before accumulating ``max_cells`` contained cells; since an
+        interior covering is a pure optimization (any subset of the
+        region is correct), truncating the search early only costs
+        refine-kernel work downstream, never correctness.  Exterior
+        coverings are never truncated (they must stay supersets)."""
         self.min_level = max(0, min(cid.MAX_LEVEL, min_level))
         self.max_level = max(0, min(cid.MAX_LEVEL, max_level))
         self.level_mod = max(1, min(3, level_mod))
         self.max_cells = max_cells
+        self.max_candidates = max_candidates
         self._region: Region | None = None
         self._result: list[int] = []
         self._queue: list[tuple[int, int, _Candidate]] = []
@@ -188,7 +198,14 @@ class RegionCoverer:
         self._seq = 0
         self._get_initial_candidates()
         while self._queue and (
-            not self._interior or len(self._result) < self.max_cells
+            not self._interior
+            or (
+                len(self._result) < self.max_cells
+                and (
+                    self.max_candidates is None
+                    or self._seq < self.max_candidates
+                )
+            )
         ):
             _, _, candidate = heapq.heappop(self._queue)
             if (

@@ -290,48 +290,53 @@ def loop_contains_points(
     ``points``:   (N, 3) unit vectors.
     Returns (N,) bool.
 
-    Fast path: thresholded determinant signs per edge across all points
-    at once; rows whose any determinant falls inside the uncertainty
-    band are recomputed with the scalar exact ``edgeOrVertexCrossing``.
+    Fast path: one (N x M) matrix pass of thresholded determinant
+    signs (the vectorized EdgeCrosser, S2EdgeUtil.php:338-453); rows
+    with any determinant inside the uncertainty band are recomputed
+    with the scalar exact ``edgeOrVertexCrossing``.  Chunked over N to
+    bound memory at ~(chunk x M) doubles.
     """
     points = np.atleast_2d(points)
     n = len(points)
-    inside = np.full(n, bool(origin_inside))
-    a = ORIGIN
-    a_cross_b = np.cross(a, points)  # (N,3)
-    uncertain = np.zeros(n, dtype=bool)
     m = len(vertices)
-    for e in range(m):
-        c = vertices[e]
-        d = vertices[(e + 1) % m]
-        # acb = -ccw(a, b, c); bda = ccw(a, b, d), both via a x b.
-        det_c = a_cross_b @ c
-        det_d = a_cross_b @ d
-        cd = np.cross(c, d)
-        det_b = points @ cd  # ccw(c, d, b)
-        det_a = float(np.dot(cd, a))  # ccw(c, d, a)
-        uncertain |= (
+    c_mat = vertices  # (M,3)
+    d_mat = np.roll(vertices, -1, axis=0)  # (M,3)
+    cd = np.cross(c_mat, d_mat)  # (M,3)
+    det_a = cd @ ORIGIN  # (M,) ccw(c,d,origin)
+    dac = np.sign(det_a)[None, :]
+    a_uncertain = np.abs(det_a) <= CCW_THRESHOLD
+
+    inside = np.empty(n, dtype=bool)
+    uncertain_rows: list[int] = []
+    chunk = max(1, (1 << 22) // max(m, 1))  # ~32MB per (chunk x M) f64
+    for s in range(0, n, chunk):
+        p = points[s : s + chunk]  # (K,3)
+        axb = np.cross(ORIGIN, p)  # (K,3)
+        det_c = axb @ c_mat.T  # (K,M)  -ccw(a,b,c) sign source
+        det_d = axb @ d_mat.T  # (K,M)   ccw(a,b,d)
+        det_b = p @ cd.T  # (K,M)   ccw(c,d,b)
+        unc = (
             (np.abs(det_c) <= CCW_THRESHOLD)
             | (np.abs(det_d) <= CCW_THRESHOLD)
             | (np.abs(det_b) <= CCW_THRESHOLD)
-            | (abs(det_a) <= CCW_THRESHOLD)
-        )
+            | a_uncertain[None, :]
+        ).any(axis=1)
         acb = -np.sign(det_c)
         bda = np.sign(det_d)
         cbd = -np.sign(det_b)
-        dac = np.sign(det_a)
         crossing = (acb == bda) & (cbd == acb) & (dac == acb) & (acb != 0)
-        inside ^= crossing
-    if np.any(uncertain):
-        idx = np.nonzero(uncertain)[0]
-        for i in idx:
-            p = points[i]
-            ins = bool(origin_inside)
-            for e in range(m):
-                ins ^= edge_or_vertex_crossing(
-                    a, p, vertices[e], vertices[(e + 1) % m]
-                )
-            inside[i] = ins
+        inside[s : s + chunk] = bool(origin_inside) ^ (
+            crossing.sum(axis=1) & 1
+        ).astype(bool)
+        uncertain_rows.extend((s + np.nonzero(unc)[0]).tolist())
+    for i in uncertain_rows:
+        p = points[i]
+        ins = bool(origin_inside)
+        for e in range(m):
+            ins ^= edge_or_vertex_crossing(
+                ORIGIN, p, vertices[e], vertices[(e + 1) % m]
+            )
+        inside[i] = ins
     return inside
 
 

@@ -121,9 +121,24 @@ class LoopRegion(Region):
         )
         self.origin_inside = geom.loop_origin_inside(self.vertices)
         lat_lo, lat_hi, lng_lo, lng_hi = geom.chain_rect_bound(self.vertices)
-        self.bound = LatLngRect(
-            R1Interval(lat_lo, lat_hi), S1Interval(lng_lo, lng_hi)
+        lat = R1Interval(lat_lo, lat_hi)
+        lng = S1Interval(lng_lo, lng_hi)
+        # initBound pole fix-ups (S2Loop.php:819-845): a loop may wrap
+        # the sphere or contain a pole (a small CW loop contains both).
+        poles = geom.loop_contains_points(
+            self.vertices,
+            self.origin_inside,
+            np.array([[0.0, 0.0, 1.0], [0.0, 0.0, -1.0]]),
         )
+        if bool(poles[0]):
+            lat = R1Interval(lat.lo, math.pi / 2)
+            lng = S1Interval.full()
+        if lng.is_full() and bool(poles[1]):
+            lat = R1Interval(-math.pi / 2, lat.hi)
+        self.bound = LatLngRect(lat, lng)
+        # Precomputed edge arrays for the vectorized crossing tests.
+        self._edge_d = np.roll(self.vertices, -1, axis=0)  # (M,3)
+        self._edge_cd = np.cross(self.vertices, self._edge_d)  # (M,3)
 
     def get_cap_bound(self) -> Cap:
         return self.bound.get_cap_bound()
@@ -138,19 +153,37 @@ class LoopRegion(Region):
 
     def _boundary_near_cell(self, cell: Cell) -> bool:
         """True if any loop vertex is in the cell or any loop edge
-        crosses a cell edge."""
-        for v in self.vertices:
-            if cell.contains_point(v):
-                return True
-        cv = cell.get_vertices()
-        m = len(self.vertices)
-        for e in range(m):
-            a = self.vertices[e]
-            b = self.vertices[(e + 1) % m]
-            for k in range(4):
-                if geom.robust_crossing(a, b, cv[k], cv[(k + 1) & 3]) > 0:
-                    return True
-        return False
+        crosses a cell edge.
+
+        Vectorized: all (4 cell edges x M loop edges) crossing sign
+        tests in one matrix pass; determinants inside the uncertainty
+        band count as 'near' (conservative in both uses: blocks
+        contains_cell, triggers may_intersect)."""
+        if bool(np.any(cell.contains_points_xyz(self.vertices))):
+            return True
+        cv = np.asarray(cell.get_vertices())  # (4,3)
+        cv_next = np.roll(cv, -1, axis=0)
+        ab = np.cross(cv, cv_next)  # (4,3) cell-edge normals
+        c_mat = self.vertices  # (M,3)
+        d_mat = self._edge_d
+        cd = self._edge_cd
+        thr = geom.CCW_THRESHOLD
+        det_c = ab @ c_mat.T  # (4,M): ccw-ish of loop C vs cell edge
+        det_d = ab @ d_mat.T
+        det_a = cd @ cv.T  # (M,4): cell vertex A vs loop edge
+        det_b = cd @ cv_next.T
+        acb = -np.sign(det_c)
+        bda = np.sign(det_d)
+        cbd = -np.sign(det_b.T)
+        dac = np.sign(det_a.T)
+        crossing = (acb == bda) & (cbd == acb) & (dac == acb) & (acb != 0)
+        uncertain = (
+            (np.abs(det_c) <= thr)
+            | (np.abs(det_d) <= thr)
+            | (np.abs(det_b.T) <= thr)
+            | (np.abs(det_a.T) <= thr)
+        )
+        return bool(np.any(crossing | uncertain))
 
     def contains_cell(self, cell: Cell) -> bool:
         """Cell ⊆ loop iff all 4 cell vertices inside and the loop
