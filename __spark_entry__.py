@@ -1,38 +1,710 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)``    — flagship pipeline on sf0.001.
+``queries()``       — one entry per implemented operator (SURVEY.md §2
+                      + the training-data pipeline operators).
+``oracle_sql()``    — DuckDB-runnable ANSI SQL per query.
+
+Oracle styles, marked per query:
+* **dual-SQL** — the Spark query and the oracle are independent SQL
+  formulations evaluated by two engines; exact because every shared
+  expression (geocode, md5, bit ops) is engine-portable double/int64
+  arithmetic.
+* **kernel-backed VALUES** — for S2 geometry that SQL cannot express
+  (Hilbert encode, coverings, point-in-polygon): the oracle embeds a
+  VALUES literal computed by the pure-numpy ``s2core`` kernels reading
+  the same parquet.  Independence from the Spark path is the pytest
+  golden suite (tests/test_s2core_golden.py anchors the kernels to the
+  reference's own unit-test vectors, bit-for-bit).
+
+Note: kernel-backed oracles are generated for the sf0.01 dataset (the
+driver's documented correctness scale).
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
+import numpy as np
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+SF001 = "/root/testdata/sf0.001"
+SF01 = "/root/testdata/sf0.01"
+
+KNN_PROBES = [
+    (0, 48.85, 2.35),
+    (1, 40.71, -74.0),
+    (2, 35.68, 139.69),
+    (3, 0.0, 0.0),
+    (4, -33.9, 151.2),
+    (5, 89.0, 10.0),
+    (6, -89.0, 0.0),
+    (7, 10.0, 179.9),
+    (8, 55.6, 37.97),
+    (9, -45.0, -60.0),
+]
+KNN_K = 5
+ANN_K = 10
+ANN_QUERY_IDS = list(range(8))
+TILE_LEVEL = 8
 
 
+# --------------------------------------------------------------------------- utils
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from s2_geometry_library_php_spark.functions import s2_cell_id
+    from s2_geometry_library_php_spark.sources import load_documents
+
+    return load_documents(spark, sf_dir).withColumn(
+        "cell_id", s2_cell_id("lat", "lon")
+    )
+
+
+def _docs_np(sf_dir: str):
+    """(doc_id, text, lang, source, lat, lon, leaf uint64) via duckdb +
+    numpy — the oracle-side twin pipeline."""
+    import duckdb
+
+    from s2_geometry_library_php_spark.s2core import cellid as cid
+    from s2_geometry_library_php_spark.sources.documents import geocode_numpy
+
+    rel = duckdb.sql(
+        f"SELECT doc_id, text, lang, source FROM '{sf_dir}/documents.parquet' ORDER BY doc_id"
+    )
+    doc_id, text, lang, source = zip(*rel.fetchall())
+    doc_id = np.asarray(doc_id, dtype=np.int64)
+    lat, lon = geocode_numpy(doc_id)
+    leaf = cid.cell_id_from_latlng_degrees(lat, lon)
+    return doc_id, list(text), list(lang), list(source), lat, lon, leaf
+
+
+def _values_sql(rows: list[tuple], columns: list[tuple[str, str]]) -> str:
+    """VALUES literal -> typed SELECT (DuckDB).  columns: (name, type)."""
+    if not rows:
+        inner = ", ".join(f"CAST(NULL AS {t}) AS {n}" for n, t in columns)
+        return f"SELECT {inner} WHERE 1=0"
+
+    def lit(v):
+        if v is None:
+            return "NULL"
+        if isinstance(v, bool):
+            return "TRUE" if v else "FALSE"
+        if isinstance(v, (int, np.integer)):
+            return str(int(v))
+        if isinstance(v, (float, np.floating)):
+            return repr(float(v))  # 17 sig digits: round-trips exactly
+        s = str(v).replace("'", "''")
+        return f"'{s}'"
+
+    body = ", ".join("(" + ", ".join(lit(v) for v in row) + ")" for row in rows)
+    names = ", ".join(n for n, _ in columns)
+    casts = ", ".join(f"CAST({n} AS {t}) AS {n}" for n, t in columns)
+    return f"SELECT {casts} FROM (VALUES {body}) AS _t({names})"
+
+
+_ORACLE_CACHE: dict[str, str] = {}
+
+
+# --------------------------------------------------------------------------- entry
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: documents -> geocode -> S2 leaf encode -> level-12
+    tile aggregation -> top tiles (SURVEY.md §7.3)."""
+    from s2_geometry_library_php_spark.operators import tile_aggregate
+
+    docs = _docs(spark, SF001)
+    tiles = tile_aggregate(docs, 12, distinct_col="url")
+    return tiles.orderBy(F.desc("doc_count"), F.asc("tile_token")).limit(100)
 
 
+# --------------------------------------------------------------------------- queries
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from s2_geometry_library_php_spark.functions import (
+        s2_cell_id,
+        s2_cell_center_lat,
+        s2_cell_center_lng,
+        s2_token_sql,
+    )
+    from s2_geometry_library_php_spark.functions.dedup import (
+        exact_duplicate_groups,
+        minhash_band_pairs,
+        ngram_jaccard_pairs,
+        simhash64_udf,
+    )
+    from s2_geometry_library_php_spark.functions.multimodal import (
+        extract_features,
+        synth_media_table,
+    )
+    from s2_geometry_library_php_spark.functions.text import (
+        fingerprint_column,
+        lang_id_column,
+        quality_columns,
+        token_count_column,
+    )
+    from s2_geometry_library_php_spark.operators import (
+        spatial_join,
+        tile_aggregate,
+        tile_rollup,
+    )
+    from s2_geometry_library_php_spark.operators.knn import knn_join
+    from s2_geometry_library_php_spark.operators.similarity import (
+        ann_lsh_topk,
+        cosine_topk_brute,
+    )
+    from s2_geometry_library_php_spark.operators.spatial_join import (
+        build_covering_table,
+    )
+    from s2_geometry_library_php_spark.sources import region_fixtures
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    def q_geocode(spark, sf):
+        return _docs(spark, sf).select("doc_id", "url", "lat", "lon")
+
+    def q_cell_tokens(spark, sf):
+        return _docs(spark, sf).select(
+            "doc_id", s2_token_sql("cell_id").alias("token")
+        )
+
+    def q_cell_centers(spark, sf):
+        d = _docs(spark, sf)
+        return d.select(
+            "doc_id",
+            s2_cell_center_lat(F.col("cell_id")).alias("center_lat"),
+            s2_cell_center_lng(F.col("cell_id")).alias("center_lon"),
+        )
+
+    def q_tile_counts(spark, sf):
+        return tile_aggregate(_docs(spark, sf), TILE_LEVEL).select(
+            "tile_token", "doc_count"
+        )
+
+    def q_tile_rollup(spark, sf):
+        tiles = tile_aggregate(_docs(spark, sf), TILE_LEVEL)
+        return tile_rollup(tiles, TILE_LEVEL, [6, 4]).select(
+            "level", "tile_token", "doc_count"
+        )
+
+    def q_spatial_join(spark, sf):
+        docs = _docs(spark, sf).select("doc_id", "lat", "lon", "cell_id")
+        return spatial_join(spark, docs, region_fixtures()).select(
+            "doc_id", "region_id"
+        )
+
+    def q_covering(spark, sf):
+        cov = build_covering_table(spark, region_fixtures())
+        return cov.select(
+            "region_id",
+            s2_token_sql("cov_cell").alias("token"),
+            "is_interior",
+        )
+
+    def q_knn(spark, sf):
+        docs = _docs(spark, sf).select("doc_id", "lat", "lon", "cell_id")
+        probes = spark.createDataFrame(
+            KNN_PROBES, "probe_id long, lat double, lon double"
+        )
+        out = knn_join(spark, probes, docs, KNN_K, start_level=8)
+        return out.select(
+            "probe_id",
+            "doc_id",
+            F.col("rank").cast("long").alias("rank"),
+            F.round("dist_rad", 6).alias("dist6"),
+        )
+
+    def q_exact_dedup(spark, sf):
+        docs = spark.read.parquet(f"{sf}/documents.parquet")
+        return exact_duplicate_groups(docs).select(
+            "fingerprint",
+            "dup_count",
+            "keeper_doc_id",
+        )
+
+    def q_minhash_pairs(spark, sf):
+        docs = spark.read.parquet(f"{sf}/documents.parquet")
+        return minhash_band_pairs(docs)
+
+    def q_simhash(spark, sf):
+        docs = spark.read.parquet(f"{sf}/documents.parquet")
+        return docs.select(
+            "doc_id", simhash64_udf(F.col("text")).alias("simhash")
+        )
+
+    def q_ngram_jaccard(spark, sf):
+        docs = spark.read.parquet(f"{sf}/documents.parquet")
+        return ngram_jaccard_pairs(docs, threshold=0.2)
+
+    def q_lang_id(spark, sf):
+        docs = spark.read.parquet(f"{sf}/documents.parquet")
+        return docs.select(
+            "doc_id", lang_id_column("text").alias("lang_pred")
+        )
+
+    def q_quality(spark, sf):
+        docs = spark.read.parquet(f"{sf}/documents.parquet")
+        cols = quality_columns("text")
+        return docs.select(
+            "doc_id", *[c.alias(n) for n, c in cols.items()]
+        )
+
+    def q_token_count(spark, sf):
+        docs = spark.read.parquet(f"{sf}/documents.parquet")
+        return docs.select(
+            "doc_id",
+            token_count_column("text").alias("n_tokens"),
+            fingerprint_column("text").alias("fingerprint"),
+        )
+
+    def q_extract_text(spark, sf):
+        from s2_geometry_library_php_spark.sources.documents import (
+            extract_text,
+            synth_html,
+        )
+
+        docs = spark.read.parquet(f"{sf}/documents.parquet")
+        # byte-identical invariant: extract_text(synth_html(text)) == text
+        return docs.select(
+            "doc_id",
+            extract_text(synth_html(F.col("text"))).alias("extracted"),
+        )
+
+    def q_ann_cosine(spark, sf):
+        emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+        queries_df = emb.where(
+            F.col("vec_id").isin(ANN_QUERY_IDS)
+        ).select(F.col("vec_id").alias("query_id"), "embedding")
+        return cosine_topk_brute(emb, queries_df, ANN_K).select(
+            "query_id",
+            "vec_id",
+            F.col("rank").cast("long").alias("rank"),
+            "cosine",
+        )
+
+    def q_ann_lsh(spark, sf):
+        emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+        queries_df = emb.where(
+            F.col("vec_id").isin(ANN_QUERY_IDS)
+        ).select(F.col("vec_id").alias("query_id"), "embedding")
+        return ann_lsh_topk(emb, queries_df, ANN_K).select(
+            "query_id", "vec_id", F.col("rank").cast("long").alias("rank")
+        )
+
+    def q_events_hourly(spark, sf):
+        ev = spark.read.parquet(f"{sf}/events.parquet")
+        return ev.groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("hour"),
+            "event_type",
+        ).agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+
+    def q_sessionize(spark, sf):
+        from pyspark.sql import Window
+
+        ev = spark.read.parquet(f"{sf}/events.parquet")
+        w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        gap = F.unix_timestamp("ts") - F.unix_timestamp(
+            F.lag("ts").over(w)
+        )
+        new_s = F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+        sess = ev.withColumn(
+            "session_id",
+            F.sum(new_s).over(
+                Window.partitionBy("user_id")
+                .orderBy("ts", "event_id")
+                .rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+        return sess.groupBy("user_id").agg(
+            F.max("session_id").alias("n_sessions"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+
+    def q_tpch_pricing(spark, sf):
+        li = spark.read.parquet(f"{sf}/lineitem.parquet")
+        return (
+            li.where(F.col("l_shipdate") <= F.lit("1998-09-02"))
+            .groupBy("l_returnflag", "l_linestatus")
+            .agg(
+                F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+                F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+                F.round(
+                    F.sum(
+                        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+                    ),
+                    2,
+                ).alias("sum_disc_price"),
+                F.count(F.lit(1)).alias("count_order"),
+            )
+        )
+
+    def q_revenue_window(spark, sf):
+        from pyspark.sql import Window
+
+        li = spark.read.parquet(f"{sf}/lineitem.parquet")
+        ord_ = spark.read.parquet(f"{sf}/orders.parquet")
+        cust = spark.read.parquet(f"{sf}/customer.parquet")
+        nat = spark.read.parquet(f"{sf}/nation.parquet")
+        rev = (
+            li.join(ord_, li.l_orderkey == ord_.o_orderkey)
+            .join(cust, ord_.o_custkey == cust.c_custkey)
+            .join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey)
+            .groupBy("n_name")
+            .agg(
+                F.round(
+                    F.sum(
+                        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+                    ),
+                    2,
+                ).alias("revenue")
+            )
+        )
+        w = Window.orderBy(F.desc("revenue"), F.asc("n_name"))
+        return rev.withColumn(
+            "rank", F.row_number().over(w).cast("long")
+        )
+
+    def q_multimodal(spark, sf):
+        media = synth_media_table(spark, 64)
+        feats = extract_features(media)
+        # No rounding: float32 features cast to double are exact, and
+        # the sequential left-to-right sum below is replicated exactly
+        # in the oracle (decimal rounding differs between engines at
+        # .5 boundaries, which x/2^k values hit constantly).
+        return feats.select(
+            "media_id",
+            "kind",
+            "n_bytes",
+            F.element_at("feature", 1).cast("double").alias("f0"),
+            F.aggregate(
+                F.transform("feature", lambda x: x.cast("double")),
+                F.lit(0.0),
+                lambda a, x: a + x,
+            ).alias("f_sum"),
+        )
+
+    return {
+        "geocode": q_geocode,
+        "cell_tokens": q_cell_tokens,
+        "cell_centers": q_cell_centers,
+        "tile_counts_l8": q_tile_counts,
+        "tile_rollup": q_tile_rollup,
+        "spatial_join": q_spatial_join,
+        "covering_tokens": q_covering,
+        "knn": q_knn,
+        "exact_dedup": q_exact_dedup,
+        "minhash_pairs": q_minhash_pairs,
+        "simhash": q_simhash,
+        "ngram_jaccard": q_ngram_jaccard,
+        "lang_id": q_lang_id,
+        "quality": q_quality,
+        "token_count": q_token_count,
+        "extract_text": q_extract_text,
+        "ann_cosine_topk": q_ann_cosine,
+        "ann_lsh_topk": q_ann_lsh,
+        "events_hourly": q_events_hourly,
+        "sessionize": q_sessionize,
+        "tpch_pricing": q_tpch_pricing,
+        "revenue_window": q_revenue_window,
+        "multimodal_features": q_multimodal,
+    }
+
+
+# --------------------------------------------------------------------------- oracles
+def _kernel_oracles() -> dict[str, str]:
+    """Kernel-backed VALUES oracles computed once from sf0.01 parquet
+    via the numpy s2core kernels (see module docstring)."""
+    if _ORACLE_CACHE:
+        return _ORACLE_CACHE
+    from s2_geometry_library_php_spark.s2core import cellid as cid
+    from s2_geometry_library_php_spark.s2core import geom
+    from s2_geometry_library_php_spark.s2core.region import region_from_params
+    from s2_geometry_library_php_spark.sources import region_fixtures
+
+    doc_id, text, lang, source, lat, lon, leaf = _docs_np(SF01)
+
+    # cell tokens
+    toks = cid.token_from_id(leaf)
+    _ORACLE_CACHE["cell_tokens"] = _values_sql(
+        list(zip(doc_id.tolist(), toks)),
+        [("doc_id", "BIGINT"), ("token", "VARCHAR")],
+    )
+
+    # cell centers (same kernel as the UDF -> bit-identical doubles)
+    clat, clng = cid.cell_id_to_center_latlng(leaf)
+    _ORACLE_CACHE["cell_centers"] = _values_sql(
+        list(zip(doc_id.tolist(), np.degrees(clat), np.degrees(clng))),
+        [("doc_id", "BIGINT"), ("center_lat", "DOUBLE"), ("center_lon", "DOUBLE")],
+    )
+
+    # tile counts + rollup
+    for name, levels in (
+        ("tile_counts_l8", [TILE_LEVEL]),
+        ("tile_rollup", [TILE_LEVEL, 6, 4]),
+    ):
+        rows = []
+        for lvl in levels:
+            tiles = cid.parent(leaf, lvl)
+            uniq, counts = np.unique(tiles, return_counts=True)
+            tt = cid.token_from_id(uniq)
+            if name == "tile_counts_l8":
+                rows.extend(zip(tt, counts.tolist()))
+            else:
+                rows.extend(
+                    (int(lvl), t, int(c)) for t, c in zip(tt, counts.tolist())
+                )
+        if name == "tile_counts_l8":
+            _ORACLE_CACHE[name] = _values_sql(
+                rows, [("tile_token", "VARCHAR"), ("doc_count", "BIGINT")]
+            )
+        else:
+            _ORACLE_CACHE[name] = _values_sql(
+                rows,
+                [
+                    ("level", "INTEGER"),
+                    ("tile_token", "VARCHAR"),
+                    ("doc_count", "BIGINT"),
+                ],
+            )
+
+    # spatial join (independent brute-force containment, no coverings)
+    pts = geom.latlng_to_xyz(np.radians(lat), np.radians(lon))
+    rows = []
+    for spec in region_fixtures():
+        reg = region_from_params(
+            spec["kind"], spec["params"], spec.get("loop_offsets")
+        )
+        inside = reg.contains_points(pts)
+        rows.extend(
+            (int(d), int(spec["region_id"])) for d in doc_id[inside]
+        )
+    _ORACLE_CACHE["spatial_join"] = _values_sql(
+        rows, [("doc_id", "BIGINT"), ("region_id", "BIGINT")]
+    )
+
+    # covering tokens (kernel-backed golden of the coverer itself)
+    from s2_geometry_library_php_spark.operators.spatial_join import (
+        compute_coverings,
+    )
+
+    cov_rows = compute_coverings(region_fixtures())
+    cov_vals = [
+        (rid, cid.token_from_id(np.asarray([c & 0xFFFFFFFFFFFFFFFF], np.uint64))[0], bool(i))
+        for rid, c, _, i in [(r, c, l, i) for r, c, l, i in cov_rows]
+    ]
+    _ORACLE_CACHE["covering_tokens"] = _values_sql(
+        cov_vals,
+        [("region_id", "BIGINT"), ("token", "VARCHAR"), ("is_interior", "BOOLEAN")],
+    )
+
+    # kNN brute force (numpy)
+    rows = []
+    for pid, plat, plon in KNN_PROBES:
+        p = geom.latlng_to_xyz(np.radians(plat), np.radians(plon))
+        d = geom.angle_between(p[None, :], pts)
+        order = np.lexsort((doc_id, d))[:KNN_K]
+        for r, idx in enumerate(order, start=1):
+            rows.append(
+                (pid, int(doc_id[idx]), r, round(float(d[idx]), 6))
+            )
+    _ORACLE_CACHE["knn"] = _values_sql(
+        rows,
+        [
+            ("probe_id", "BIGINT"),
+            ("doc_id", "BIGINT"),
+            ("rank", "BIGINT"),
+            ("dist6", "DOUBLE"),
+        ],
+    )
+
+    # simhash (same python algorithm as the UDF)
+    import hashlib
+
+    def simhash_one(t: str) -> int:
+        if not t:
+            return 0
+        words = t.lower().split(" ")
+        hashes = np.frombuffer(
+            b"".join(hashlib.md5(w.encode()).digest()[:8] for w in words),
+            dtype=">u8",
+        )
+        bits = (
+            (hashes[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & 1
+        ).astype(np.int32)
+        votes = bits.sum(axis=0) * 2 - len(hashes)
+        word = np.uint64(0)
+        for i in range(64):
+            if votes[i] > 0:
+                word |= np.uint64(1) << np.uint64(i)
+        return int(word.view(np.int64))
+
+    _ORACLE_CACHE["simhash"] = _values_sql(
+        [(int(d), simhash_one(t)) for d, t in zip(doc_id, text)],
+        [("doc_id", "BIGINT"), ("simhash", "BIGINT")],
+    )
+
+    # multimodal (deterministic fake features, same python)
+    from s2_geometry_library_php_spark.functions.multimodal import (
+        _fake_feature,
+    )
+
+    rows = []
+    kinds = ["image", "audio", "video"]
+    for i in range(64):
+        kind = kinds[i % 3]
+        payload = bytes(((i * 7 + j * 13) % 251) for j in range(128 + i))
+        feat = _fake_feature(payload)
+        f_sum = 0.0
+        for x in feat:  # sequential, matching Spark's aggregate()
+            f_sum = f_sum + float(x)
+        rows.append((i, kind, len(payload), float(feat[0]), f_sum))
+    _ORACLE_CACHE["multimodal_features"] = _values_sql(
+        rows,
+        [
+            ("media_id", "BIGINT"),
+            ("kind", "VARCHAR"),
+            ("n_bytes", "BIGINT"),
+            ("f0", "DOUBLE"),
+            ("f_sum", "DOUBLE"),
+        ],
+    )
+    return _ORACLE_CACHE
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from s2_geometry_library_php_spark.functions.dedup import (
+        minhash_duckdb_pairs,
+        shingles_duckdb,
+    )
+    from s2_geometry_library_php_spark.functions.text import (
+        fingerprint_duckdb,
+        lang_id_duckdb,
+        quality_duckdb,
+        token_count_duckdb,
+    )
+    from s2_geometry_library_php_spark.sources.documents import (
+        GEOCODE_LAT_SQL,
+        GEOCODE_LON_SQL,
+        URL_SQL_DUCKDB,
+    )
+
+    out: dict[str, str] = {}
+
+    # --- dual-SQL oracles ----------------------------------------------------
+    out["geocode"] = (
+        f"SELECT doc_id, {URL_SQL_DUCKDB} AS url, "
+        f"{GEOCODE_LAT_SQL} AS lat, {GEOCODE_LON_SQL} AS lon FROM documents"
+    )
+
+    out["exact_dedup"] = (
+        f"SELECT {fingerprint_duckdb('text')} AS fingerprint, "
+        f"CAST(count(*) AS BIGINT) AS dup_count, "
+        f"min(doc_id) AS keeper_doc_id FROM documents GROUP BY 1"
+    )
+
+    out["minhash_pairs"] = minhash_duckdb_pairs()
+
+    sh = shingles_duckdb("text")
+    out["ngram_jaccard"] = f"""
+WITH base AS (
+  SELECT doc_id, source AS bucket, {sh} AS sh FROM documents
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       round(len(list_intersect(a.sh, b.sh)) /
+             CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE), 6) AS jaccard
+FROM base a JOIN base b ON a.bucket = b.bucket AND a.doc_id < b.doc_id
+WHERE round(len(list_intersect(a.sh, b.sh)) /
+            CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE), 6) >= 0.2
+"""
+
+    out["lang_id"] = (
+        f"SELECT doc_id, {lang_id_duckdb('text')} AS lang_pred FROM documents"
+    )
+
+    qcols = quality_duckdb("text")
+    out["quality"] = (
+        "SELECT doc_id, "
+        + ", ".join(f"{expr} AS {name}" for name, expr in qcols.items())
+        + " FROM documents"
+    )
+
+    out["token_count"] = (
+        f"SELECT doc_id, {token_count_duckdb('text')} AS n_tokens, "
+        f"{fingerprint_duckdb('text')} AS fingerprint FROM documents"
+    )
+
+    out["extract_text"] = "SELECT doc_id, text AS extracted FROM documents"
+
+    out["ann_cosine_topk"] = f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings
+  WHERE vec_id IN ({", ".join(str(i) for i in ANN_QUERY_IDS)})
+), sims AS (
+  SELECT q.query_id, e.vec_id,
+         round(list_dot_product(e.embedding::DOUBLE[], q.qv) /
+               (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])) *
+                sqrt(list_dot_product(q.qv, q.qv))), 6) AS cosine
+  FROM embeddings e, q WHERE e.vec_id <> q.query_id
+), ranked AS (
+  SELECT query_id, vec_id, cosine,
+         row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id ASC) AS rank
+  FROM sims
+)
+SELECT query_id, vec_id, CAST(rank AS BIGINT) AS rank, cosine
+FROM ranked WHERE rank <= {ANN_K}
+"""
+
+    out["events_hourly"] = """
+SELECT date_trunc('hour', ts) AS hour, event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       round(sum(value), 4) AS sum_value
+FROM events GROUP BY 1, 2
+"""
+
+    out["sessionize"] = """
+WITH gaps AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR date_diff('second', lag(ts) OVER w, ts) > 1800
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), sess AS (
+  SELECT user_id,
+         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM gaps
+)
+SELECT user_id, CAST(max(session_id) AS BIGINT) AS n_sessions,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM sess GROUP BY user_id
+"""
+
+    out["tpch_pricing"] = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       CAST(count(*) AS BIGINT) AS count_order
+FROM lineitem WHERE l_shipdate <= '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+    out["revenue_window"] = """
+WITH rev AS (
+  SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation ON c_nationkey = n_nationkey
+  GROUP BY n_name
+)
+SELECT n_name, revenue,
+       CAST(row_number() OVER (ORDER BY revenue DESC, n_name ASC) AS BIGINT) AS rank
+FROM rev
+"""
+
+    # --- kernel-backed VALUES oracles ------------------------------------------
+    out.update(_kernel_oracles())
+
+    # ann_lsh_topk intentionally has no oracle: approximate operator
+    # (rows-only check); its recall is pytest-asserted vs the exact path.
+    return out

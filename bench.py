@@ -1,0 +1,172 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
+sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Extra fields: docs_per_sec / tiles_per_sec for the flagship pipeline,
+and (with --scaling) local[8] vs local[32] throughput + efficiency for
+the north rule's two-cluster-size criterion.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+
+def _run_suite(spark, sf_dir: str) -> tuple[dict, dict]:
+    from pyspark.sql import functions as F
+
+    from s2_geometry_library_php_spark.functions import s2_cell_id
+    from s2_geometry_library_php_spark.functions.dedup import minhash_band_pairs
+    from s2_geometry_library_php_spark.functions.text import (
+        lang_id_column,
+        quality_columns,
+        token_count_column,
+    )
+    from s2_geometry_library_php_spark.operators import (
+        spatial_join,
+        tile_aggregate,
+        tile_rollup,
+    )
+    from s2_geometry_library_php_spark.operators.knn import knn_join
+    from s2_geometry_library_php_spark.operators.similarity import (
+        cosine_topk_brute,
+    )
+    from s2_geometry_library_php_spark.sources import (
+        load_documents,
+        region_fixtures,
+    )
+
+    timings: dict[str, float] = {}
+    extras: dict[str, float] = {}
+
+    def timed(name: str, fn):
+        t0 = time.time()
+        out = fn()
+        timings[name] = round(time.time() - t0, 3)
+        return out
+
+    docs = load_documents(spark, sf_dir).withColumn(
+        "cell_id", s2_cell_id("lat", "lon")
+    ).select("doc_id", "url", "text", "lat", "lon", "cell_id")
+    n_docs = docs.count()  # warm the scan/JVM before timing
+
+    # Flagship: geocode -> encode -> spatial join -> tile aggregation.
+    def flagship():
+        joined = spatial_join(
+            spark, docs.select("doc_id", "lat", "lon", "cell_id"), region_fixtures()
+        )
+        tiles = tile_aggregate(
+            joined.groupBy("doc_id", "lat", "lon", "cell_id")
+            .agg(F.count(F.lit(1)).alias("n_regions")),
+            8,
+        )
+        return tiles.count()
+
+    n_tiles = timed("flagship_join_tiling", flagship)
+    extras["docs_per_sec"] = round(n_docs / timings["flagship_join_tiling"], 1)
+    extras["tiles_per_sec"] = round(n_tiles / timings["flagship_join_tiling"], 1)
+
+    timed(
+        "tile_rollup_l12_to_l2",
+        lambda: tile_rollup(
+            tile_aggregate(docs, 12), 12, [10, 8, 6, 4, 2]
+        ).count(),
+    )
+
+    def knn():
+        probes = spark.range(100).select(
+            F.col("id").alias("probe_id"),
+            (F.rand(seed=7) * 160 - 80).alias("lat"),
+            (F.rand(seed=11) * 350 - 175).alias("lon"),
+        )
+        return knn_join(
+            spark, probes, docs.select("doc_id", "lat", "lon", "cell_id"), 10,
+            start_level=6,
+        ).count()
+
+    timed("knn_100probes_k10", knn)
+
+    timed(
+        "minhash_dedup_pairs",
+        lambda: minhash_band_pairs(docs.select("doc_id", "text")).count(),
+    )
+
+    def text_pipeline():
+        cols = quality_columns("text")
+        return (
+            docs.select(
+                "doc_id",
+                lang_id_column("text").alias("lang_pred"),
+                token_count_column("text").alias("n_tokens"),
+                *[c.alias(n) for n, c in cols.items()],
+            )
+            .groupBy("lang_pred")
+            .agg(F.sum("n_tokens"), F.avg("punct_ratio"))
+            .count()
+        )
+
+    timed("text_analysis", text_pipeline)
+
+    def ann():
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        q = emb.where(F.col("vec_id") < 16).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        return cosine_topk_brute(emb, q, 10).count()
+
+    timed("ann_cosine_topk", ann)
+
+    extras["n_docs"] = n_docs
+    return timings, extras
+
+
+def run_once(cpus: int, sf_dir: str) -> tuple[dict, dict]:
+    from s2_geometry_library_php_spark.plans import get_spark, stop_spark
+
+    spark = get_spark(master=f"local[{cpus}]", shuffle_partitions=max(cpus, 8))
+    spark.sparkContext.setLogLevel("ERROR")
+    try:
+        return _run_suite(spark, sf_dir)
+    finally:
+        stop_spark()
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+
+    scaling = "--scaling" in sys.argv
+    timings, extras = run_once(cpus, sf_dir)
+    result = {
+        "metric": "flagship_spatial_join_tiling_wall_sec",
+        "value": timings["flagship_join_tiling"],
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        **extras,
+    }
+    if scaling:
+        t8, e8 = run_once(8, sf_dir)
+        # throughput ratio vs core ratio (north rule: eff >= 0.8 N->4N)
+        total32 = sum(timings.values())
+        total8 = sum(t8.values())
+        speedup = total8 / total32 if total32 else 0.0
+        result["scaling"] = {
+            "cores_small": 8,
+            "cores_large": cpus,
+            "total_sec_small": round(total8, 3),
+            "total_sec_large": round(total32, 3),
+            "speedup": round(speedup, 3),
+            "efficiency": round(speedup / (cpus / 8), 3),
+        }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

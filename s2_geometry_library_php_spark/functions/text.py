@@ -1,0 +1,170 @@
+"""Text-analysis operators for the web-corpus pipeline: language ID,
+quality scoring, token counting, document fingerprinting.
+
+All implemented as native Spark SQL expressions (JVM-side, whole-stage
+codegen) with exact DuckDB twins for the driver's oracle checks —
+each ``*_SQL`` / ``*_DUCKDB`` pair computes identical values.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Marker vocabularies for the n-gram/stopword language-ID heuristic;
+# zh is detected by CJK codepoint range instead of markers.
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "in", "is", "that", "with"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "mit", "ein"],
+    "fr": ["le", "la", "les", "et", "est", "que", "pour", "une"],
+    "es": ["el", "los", "las", "es", "que", "por", "para", "una"],
+    "ru": ["i", "v", "ne", "na", "chto", "eto", "kak", "po"],
+}
+
+STOPWORDS = LANG_MARKERS["en"]
+
+TOKEN_REGEX = "[A-Za-z0-9]+|[^A-Za-z0-9\\s]"  # word or single punct (BPE-ish)
+
+
+def _quote_list_sql(words: list[str]) -> str:
+    return ", ".join(f"'{w}'" for w in words)
+
+
+# --- language ID -----------------------------------------------------------------
+def lang_id_sql_spark(text_col: str = "text") -> str:
+    """argmax of marker-word votes; CJK codepoints force 'zh';
+    all-zero votes -> 'und'."""
+    votes = []
+    for lang, markers in LANG_MARKERS.items():
+        votes.append(
+            f"size(filter(split(lower({text_col}), ' '), "
+            f"w -> array_contains(array({_quote_list_sql(markers)}), w))) AS v_{lang}"
+        )
+    return votes
+
+
+def _membership(markers: list[str]):
+    # NB: the lambda must take exactly one arg — a two-arg lambda makes
+    # F.filter pass (element, index).
+    return lambda w: w.isin(markers)
+
+
+def lang_id_column(text_col: str = "text") -> Column:
+    words = F.split(F.lower(F.col(text_col)), " ")
+    votes = {
+        lang: F.size(F.filter(words, _membership(markers)))
+        for lang, markers in LANG_MARKERS.items()
+    }
+    has_cjk = F.col(text_col).rlike("[\\u4e00-\\u9fff]")
+    best = None
+    best_votes = None
+    # deterministic argmax: iterate in fixed order, strict > to switch
+    expr = F.lit("und")
+    max_v = F.lit(0)
+    for lang in LANG_MARKERS:
+        v = votes[lang]
+        expr = F.when(v > max_v, F.lit(lang)).otherwise(expr)
+        max_v = F.greatest(max_v, v)
+    _ = best, best_votes
+    return F.when(has_cjk, F.lit("zh")).otherwise(expr)
+
+
+def lang_id_duckdb(text_col: str = "text") -> str:
+    """DuckDB twin of :func:`lang_id_column` (same deterministic
+    argmax: later language in fixed order wins ties at strict >)."""
+    vote = {
+        lang: (
+            f"len(list_filter(string_split(lower({text_col}), ' '), "
+            f"w -> list_contains([{_quote_list_sql(m)}], w)))"
+        )
+        for lang, m in LANG_MARKERS.items()
+    }
+    langs = list(LANG_MARKERS)
+    expr = "'und'"
+    max_v = "0"
+    for lang in langs:
+        v = vote[lang]
+        expr = f"CASE WHEN {v} > {max_v} THEN '{lang}' ELSE {expr} END"
+        max_v = f"greatest({max_v}, {v})"
+    # RE2 (DuckDB) spells codepoints \x{4e00}; Java (Spark) uses 一.
+    return (
+        f"CASE WHEN regexp_matches({text_col}, '[\\x{{4e00}}-\\x{{9fff}}]') "
+        f"THEN 'zh' ELSE {expr} END"
+    )
+
+
+# --- quality scoring ----------------------------------------------------------------
+def quality_columns(text_col: str = "text") -> dict[str, Column]:
+    """Length / punctuation / stopword-ratio quality signals."""
+    text = F.col(text_col)
+    words = F.split(text, " ")
+    n_chars = F.length(text)
+    n_words = F.size(words)
+    alnum = F.length(F.regexp_replace(text, "[^A-Za-z0-9 ]", ""))
+    punct_ratio = F.round(
+        (n_chars - alnum).cast("double") / F.greatest(n_chars, F.lit(1)), 6
+    )
+    stop_hits = F.size(F.filter(words, lambda w: w.isin(STOPWORDS)))
+    stopword_ratio = F.round(
+        stop_hits.cast("double") / F.greatest(n_words, F.lit(1)), 6
+    )
+    mean_word_len = F.round(
+        F.length(F.regexp_replace(text, " ", "")).cast("double")
+        / F.greatest(n_words, F.lit(1)),
+        6,
+    )
+    return {
+        "n_chars_computed": n_chars.cast("long"),
+        "n_words": n_words.cast("long"),
+        "punct_ratio": punct_ratio,
+        "stopword_ratio": stopword_ratio,
+        "mean_word_len": mean_word_len,
+    }
+
+
+def quality_duckdb(text_col: str = "text") -> dict[str, str]:
+    stop = _quote_list_sql(STOPWORDS)
+    n_chars = f"length({text_col})"
+    n_words = f"len(string_split({text_col}, ' '))"
+    alnum = f"length(regexp_replace({text_col}, '[^A-Za-z0-9 ]', '', 'g'))"
+    return {
+        "n_chars_computed": f"CAST({n_chars} AS BIGINT)",
+        "n_words": f"CAST({n_words} AS BIGINT)",
+        "punct_ratio": f"round(({n_chars} - {alnum}) / CAST(greatest({n_chars}, 1) AS DOUBLE), 6)",
+        "stopword_ratio": (
+            f"round(len(list_filter(string_split({text_col}, ' '), "
+            f"w -> list_contains([{stop}], w))) / CAST(greatest({n_words}, 1) AS DOUBLE), 6)"
+        ),
+        "mean_word_len": (
+            f"round(length(replace({text_col}, ' ', '')) / "
+            f"CAST(greatest({n_words}, 1) AS DOUBLE), 6)"
+        ),
+    }
+
+
+# --- token counting -----------------------------------------------------------------
+def token_count_column(text_col: str = "text") -> Column:
+    """Whitespace + punctuation tokenizer count (BPE-ish regex)."""
+    return F.size(
+        F.regexp_extract_all(F.col(text_col), F.lit(TOKEN_REGEX), F.lit(0))
+    ).cast("long")
+
+
+def token_count_duckdb(text_col: str = "text") -> str:
+    return f"CAST(len(regexp_extract_all({text_col}, '{TOKEN_REGEX}')) AS BIGINT)"
+
+
+def whitespace_token_count_column(text_col: str = "text") -> Column:
+    return F.size(F.split(F.col(text_col), "\\s+")).cast("long")
+
+
+# --- fingerprinting -----------------------------------------------------------------
+def fingerprint_column(text_col: str = "text") -> Column:
+    """Normalized-text content fingerprint (md5 of whitespace-collapsed
+    lowercase text) — the exact-dedup / near-dup anchor key."""
+    norm = F.regexp_replace(F.lower(F.col(text_col)), "\\s+", " ")
+    return F.md5(F.trim(norm).cast("binary"))
+
+
+def fingerprint_duckdb(text_col: str = "text") -> str:
+    return f"md5(trim(regexp_replace(lower({text_col}), '\\s+', ' ', 'g')))"

@@ -118,6 +118,25 @@ def duckdb_documents_cte(sf_dir_or_view: str = "documents") -> str:
     )
 
 
+def geocode_numpy(doc_id: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Numpy twin of GEOCODE_*_SQL — identical double arithmetic, used
+    to generate kernel-backed oracle fixtures.  Must stay in lockstep
+    with the SQL text (tests cross-check)."""
+    doc_id = np.asarray(doc_id, dtype=np.int64)
+    m = doc_id % 100000007
+    h1 = (m * 2654435761) % 4294967296
+    h2 = ((m + 12345) * 2246822519) % 4294967296
+    u1 = h1 / 4294967296.0
+    u2 = h2 / 4294967296.0
+    hot = doc_id % 5 == 0
+    c = doc_id % 3
+    hot_lat = np.where(c == 0, 48.85, np.where(c == 1, 40.71, 35.68))
+    hot_lon = np.where(c == 0, 2.35, np.where(c == 1, -74.0, 139.69))
+    lat = np.where(hot, hot_lat + (u1 - 0.5) * 0.5, -89.9 + 179.8 * u1)
+    lon = np.where(hot, hot_lon + (u2 - 0.5) * 0.5, -179.9 + 359.8 * u2)
+    return lat, lon
+
+
 # --- region dimension fixtures (FIXTURES.md §2) --------------------------------
 def region_fixtures() -> list[dict]:
     """Deterministic region set: 3 caps, 3 rects (antimeridian + pole),
