@@ -86,7 +86,7 @@ def _run_suite(spark, sf_dir: str) -> tuple[dict, dict]:
         )
         return knn_join(
             spark, probes, docs.select("doc_id", "lat", "lon", "cell_id"), 10,
-            start_level=6,
+            start_level=None,
         ).count()
 
     timed("knn_100probes_k10", knn)

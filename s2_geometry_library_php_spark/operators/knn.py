@@ -73,43 +73,67 @@ def knn_brute_force(
     )
 
 
+def auto_start_level(n_docs: int, k: int) -> int:
+    """Pick L so a 3x3 ring at level L is expected to hold ~3k docs
+    under a uniform distribution: 9 * n / (6 * 4^L) >= 3k."""
+    import math
+
+    if n_docs <= 0:
+        return 0
+    cells = max(9 * n_docs / (6 * max(3 * k, 1)), 1.0)
+    return max(0, min(18, int(math.log(cells, 4))))
+
+
 def knn_join(
     spark: SparkSession,
     probes: DataFrame,
     docs: DataFrame,
     k: int,
-    start_level: int = 10,
+    start_level: int | None = None,
     probe_id: str = "probe_id",
     doc_id: str = "doc_id",
     leaf_col: str = "cell_id",
-    max_rounds: int = 6,
+    max_rounds: int = 3,
 ) -> DataFrame:
     """Scalable kNN: equi-join docs' level-L prefix against each
     probe's 3x3 ring, exact re-rank, provable-exactness check, coarser
-    retry for unsatisfied probes.
+    retry for unsatisfied probes, brute-force for stragglers (the
+    reference's adaptive brute-vs-index spirit, S2EdgeIndex.php:162-204).
 
     ``docs`` must carry the leaf ``cell_id``; probes need (probe_id,
-    lat, lon).
+    lat, lon).  Each round materializes its (small) top-k result so
+    the per-round plan does not grow; the big ``docs`` side is only
+    ever hash-probed, never shuffled.
     """
     from ..functions.udfs import s2_all_neighbors_udf
 
-    remaining = probes.select(
-        probe_id, F.col("lat").alias("_plat"), F.col("lon").alias("_plon")
-    ).withColumn("_pleaf", s2_cell_id(F.col("_plat"), F.col("_plon")))
+    if start_level is None:
+        start_level = auto_start_level(docs.count(), k)
+
+    remaining = (
+        probes.select(
+            probe_id, F.col("lat").alias("_plat"), F.col("lon").alias("_plon")
+        )
+        .withColumn("_pleaf", s2_cell_id(F.col("_plat"), F.col("_plon")))
+        .cache()
+    )
     results: list[DataFrame] = []
     level = start_level
     for _ in range(max_rounds):
-        if level < 0:
+        if level < 0 or remaining.isEmpty():
             break
-        ring = remaining.withColumn("_center", s2_parent(F.col("_pleaf"), level))
-        ring = ring.withColumn(
-            "_ringcells",
-            F.array_union(
-                F.array(F.col("_center")), s2_all_neighbors_udf(F.col("_center"))
+        ring = remaining.withColumn(
+            "_center", s2_parent(F.col("_pleaf"), level)
+        ).withColumn(
+            "_cand_cell",
+            F.explode(
+                F.array_union(
+                    F.array(F.col("_center")),
+                    s2_all_neighbors_udf(F.col("_center")),
+                )
             ),
-        ).withColumn("_cand_cell", F.explode("_ringcells")).drop("_ringcells")
-
-        cand = ring.join(
+        )
+        cand = F.broadcast(ring).join(
             docs.withColumn("_dcell", s2_parent(F.col(leaf_col), level)),
             F.col("_cand_cell") == F.col("_dcell"),
             "inner",
@@ -124,6 +148,7 @@ def knn_join(
             cand.select(probe_id, doc_id, dist)
             .withColumn("rank", F.row_number().over(w))
             .where(F.col("rank") <= k)
+            .cache()
         )
         # Exactness: k candidates found AND kth distance < MIN_WIDTH(L).
         guarantee = float(MIN_WIDTH.get_value(level))
@@ -132,27 +157,27 @@ def knn_join(
         )
         ok_ids = stats.where(
             (F.col("_n") >= k) & (F.col("_kth") < F.lit(guarantee))
-        ).select(probe_id)
+        ).select(probe_id).cache()
         results.append(topk.join(F.broadcast(ok_ids), probe_id, "leftsemi"))
-        remaining = remaining.join(F.broadcast(ok_ids), probe_id, "leftanti")
-        if remaining.isEmpty():
-            remaining = None
-            break
+        remaining = remaining.join(
+            F.broadcast(ok_ids), probe_id, "leftanti"
+        ).cache()
         level -= 2  # 16x coarser candidate cells per round
-    if remaining is not None and not remaining.isEmpty():
-        # Final fallback: brute force for the stragglers (rare).
-        fallback = knn_brute_force(
-            remaining.select(
-                probe_id,
-                F.col("_plat").alias("lat"),
-                F.col("_plon").alias("lon"),
-            ),
-            docs,
-            k,
-            probe_id=probe_id,
-            doc_id=doc_id,
+    if not remaining.isEmpty():
+        # Final fallback: brute force for the stragglers.
+        results.append(
+            knn_brute_force(
+                remaining.select(
+                    probe_id,
+                    F.col("_plat").alias("lat"),
+                    F.col("_plon").alias("lon"),
+                ),
+                docs,
+                k,
+                probe_id=probe_id,
+                doc_id=doc_id,
+            )
         )
-        results.append(fallback)
     out = results[0]
     for r in results[1:]:
         out = out.unionByName(r)

