@@ -104,6 +104,55 @@ def _values_sql(rows: list[tuple], columns: list[tuple[str, str]]) -> str:
 
 _ORACLE_CACHE: dict[str, str] = {}
 
+UNION_FIXTURE_CAPS = [
+    (0.0, 0.0, 0.05, 12),
+    (1.0, 1.0, 0.05, 12),
+]
+EXPAND_FIXTURE = (48.85, 2.35, 0.02, 8, 0.01, 2)  # lat,lng,angle,max_cells,radius,max_level_diff
+
+
+def _union_fixture_coverings():
+    from s2_geometry_library_php_spark.s2core.coverer import RegionCoverer
+    from s2_geometry_library_php_spark.s2core.region import CapRegion
+
+    out = []
+    for lat, lng, angle, max_cells in UNION_FIXTURE_CAPS:
+        out.append(
+            RegionCoverer(max_cells=max_cells).get_covering(
+                CapRegion(lat, lng, angle)
+            )
+        )
+    return out
+
+
+def _sig64(u: int) -> int:
+    u &= 0xFFFFFFFFFFFFFFFF
+    return u - (1 << 64) if u >= 1 << 63 else u
+
+
+def _union_fixture_frames(spark):
+    a, b = _union_fixture_coverings()
+    a_df = spark.createDataFrame([(_sig64(c),) for c in a], "cell_id long")
+    b_df = spark.createDataFrame([(_sig64(c),) for c in b], "cell_id long")
+    return a_df, b_df
+
+
+def _expand_fixture_rows():
+    from s2_geometry_library_php_spark.s2core import cellid as cid
+    from s2_geometry_library_php_spark.s2core.coverer import (
+        RegionCoverer,
+        expand_by_radius,
+    )
+    from s2_geometry_library_php_spark.s2core.region import CapRegion
+
+    lat, lng, angle, max_cells, radius, diff = EXPAND_FIXTURE
+    cov = RegionCoverer(max_cells=max_cells).get_covering(
+        CapRegion(lat, lng, angle)
+    )
+    expanded = expand_by_radius(cov, radius, diff)
+    toks = cid.token_from_id(np.asarray(expanded, dtype=np.uint64))
+    return [(t,) for t in toks]
+
 
 # --------------------------------------------------------------------------- entry
 def entry(spark: SparkSession) -> DataFrame:
@@ -362,6 +411,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "rank", F.row_number().over(w).cast("long")
         )
 
+    def q_cell_union(spark, sf):
+        """Distributed S2CellUnion union+normalize of two fixture cap
+        coverings (operators.cellsets)."""
+        from s2_geometry_library_php_spark.operators.cellsets import (
+            cells_union,
+        )
+
+        a_df, b_df = _union_fixture_frames(spark)
+        return cells_union(a_df, b_df).select(
+            s2_token_sql("cell_id").alias("token")
+        )
+
+    def q_cell_intersection(spark, sf):
+        from s2_geometry_library_php_spark.operators.cellsets import (
+            cells_intersection,
+        )
+
+        a_df, b_df = _union_fixture_frames(spark)
+        return cells_intersection(a_df, b_df).select(
+            s2_token_sql("cell_id").alias("token")
+        )
+
+    def q_region_expand(spark, sf):
+        """Buffer-by-radius of a covering (S2CellUnion.expand
+        semantics) — driver kernel, exposed as a table."""
+        rows = _expand_fixture_rows()
+        return spark.createDataFrame(rows, "token string")
+
     def q_multimodal(spark, sf):
         media = synth_media_table(spark, 64)
         feats = extract_features(media)
@@ -400,6 +477,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_text": q_extract_text,
         "ann_cosine_topk": q_ann_cosine,
         "ann_lsh_topk": q_ann_lsh,
+        "cell_union_normalize": q_cell_union,
+        "cell_intersection": q_cell_intersection,
+        "region_expand": q_region_expand,
         "events_hourly": q_events_hourly,
         "sessionize": q_sessionize,
         "tpch_pricing": q_tpch_pricing,
@@ -539,6 +619,40 @@ def _kernel_oracles() -> dict[str, str]:
     _ORACLE_CACHE["simhash"] = _values_sql(
         [(int(d), simhash_one(t)) for d, t in zip(doc_id, text)],
         [("doc_id", "BIGINT"), ("simhash", "BIGINT")],
+    )
+
+    # distributed cell-union ops vs the driver kernel reference
+    from s2_geometry_library_php_spark.s2core.coverer import (
+        normalize_cell_union,
+    )
+
+    a_cov, b_cov = _union_fixture_coverings()
+    union_kernel = normalize_cell_union(list(a_cov) + list(b_cov))
+    _ORACLE_CACHE["cell_union_normalize"] = _values_sql(
+        [(t,) for t in cid.token_from_id(np.asarray(union_kernel, dtype=np.uint64))],
+        [("token", "VARCHAR")],
+    )
+
+    def _contained(c, cells):
+        lsb = c & (-c & 0xFFFFFFFFFFFFFFFF)
+        lo, hi = c - (lsb - 1), c + (lsb - 1)
+        for o in cells:
+            ol = o & (-o & 0xFFFFFFFFFFFFFFFF)
+            if o - (ol - 1) <= lo and hi <= o + (ol - 1):
+                return True
+        return False
+
+    inter_kernel = sorted(
+        {c for c in a_cov if _contained(c, b_cov)}
+        | {c for c in b_cov if _contained(c, a_cov)}
+    )
+    _ORACLE_CACHE["cell_intersection"] = _values_sql(
+        [(t,) for t in cid.token_from_id(np.asarray(inter_kernel, dtype=np.uint64))],
+        [("token", "VARCHAR")],
+    )
+
+    _ORACLE_CACHE["region_expand"] = _values_sql(
+        _expand_fixture_rows(), [("token", "VARCHAR")]
     )
 
     # multimodal (deterministic fake features, same python)
