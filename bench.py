@@ -202,6 +202,7 @@ def main() -> None:
             "cores_large": cpus,
             "total_sec_small": round(total8, 3),
             "total_sec_large": round(total32, 3),
+            "queries_small": t8,
             "speedup": round(speedup, 3),
             "efficiency": round(speedup / (cpus / 8), 3),
         }

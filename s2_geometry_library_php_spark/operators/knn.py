@@ -74,14 +74,17 @@ def knn_brute_force(
 
 
 def auto_start_level(n_docs: int, k: int) -> int:
-    """Pick L so a 3x3 ring at level L is expected to hold ~3k docs
-    under a uniform distribution: 9 * n / (6 * 4^L) >= 3k."""
+    """Pick L so the exactness guarantee is expected to hold on the
+    first round: the k-th neighbor distance under a uniform density
+    (~2*sqrt(k/n) rad) must be below MIN_WIDTH(L) = sqrt(2)/3 *
+    2^(1-L).  One level of margin absorbs local sparsity."""
     import math
 
-    if n_docs <= 0:
+    if n_docs <= 0 or k <= 0:
         return 0
-    cells = max(9 * n_docs / (6 * max(3 * k, 1)), 1.0)
-    return max(0, min(18, int(math.log(cells, 4))))
+    expected_kth = 2.0 * math.sqrt(k / n_docs)
+    level = int(1 + math.log2((math.sqrt(2) / 3) / expected_kth)) - 1
+    return max(0, min(18, level))
 
 
 def knn_join(

@@ -65,26 +65,41 @@ COVERING_SCHEMA = StructType(
 )
 
 
+# Banded level grid for the join coverings: every covering cell sits
+# at one of these levels, so the probe side only materializes 4 prefix
+# keys per row (the "banded-prefix equi-join" of SURVEY.md §2.7)
+# instead of one per arbitrary level.  The coverer's own
+# min_level/level_mod machinery (S2RegionCoverer.php:107-146,
+# denormalize S2CellUnion.php:111-135) produces grid-conformant
+# coverings natively: min 4, mod 3 -> levels {4, 7, 10, 13}.
+JOIN_LEVEL_GRID = (4, 7, 10, 13)
+
+
 def compute_coverings(
     regions: list[dict],
-    max_cells: int = 8,
-    min_level: int = 0,
-    max_level: int = 30,
-    interior_max_cells: int = 32,
-    interior_max_level: int = 12,
-    interior_max_candidates: int = 1500,
+    max_cells: int = 96,
+    min_level: int = JOIN_LEVEL_GRID[0],
+    max_level: int = JOIN_LEVEL_GRID[-1],
+    level_mod: int = 3,
 ) -> list[tuple[int, int, int, bool]]:
     """Driver-side covering rows: (region_id, cell_id_signed, level,
     is_interior).  Memoized — coverings are deterministic functions of
-    the region spec + parameters."""
+    the region spec + parameters.
+
+    The exterior covering (disjoint, grid-conformant via the coverer's
+    min_level/level_mod) is the candidate set; each cell is then
+    flagged ``is_interior`` with an exact region.contains_cell test —
+    the interior/exterior refine split (S2RegionCoverer.php:257-267)
+    without a second covering pass.  Disjointness guarantees a probe
+    matches at most one covering row per region, so the join needs no
+    dedup shuffle."""
     key = (
         tuple(
             (r["region_id"], r["kind"], tuple(r["params"]),
              tuple(r.get("loop_offsets") or ()))
             for r in regions
         ),
-        max_cells, min_level, max_level,
-        interior_max_cells, interior_max_level, interior_max_candidates,
+        max_cells, min_level, max_level, level_mod, 3,
     )
     cached = _COVERING_CACHE.get(key)
     if cached is not None:
@@ -93,34 +108,23 @@ def compute_coverings(
     if disk is not None:
         _COVERING_CACHE[key] = disk
         return disk
+    from ..s2core.cell import Cell
+
     rows: list[tuple[int, int, int, bool]] = []
     for spec in regions:
         region = region_from_params(
             spec["kind"], spec["params"], spec.get("loop_offsets")
         )
         rid = int(spec["region_id"])
-        coverer = RegionCoverer(
-            min_level=min_level, max_level=max_level, max_cells=max_cells
-        )
-        exterior = coverer.get_covering(region)
-        interior = RegionCoverer(
+        exterior = RegionCoverer(
             min_level=min_level,
-            max_level=interior_max_level,
-            max_cells=interior_max_cells,
-            max_candidates=interior_max_candidates,
-        ).get_interior_covering(region)
-        interior = normalize_cell_union(interior)
-        # Emit DISJOINT rows: boundary = exterior \ interior (cell-set
-        # difference) + interior.  Disjointness guarantees a probe
-        # matches at most one covering row per region, so the join
-        # needs no post-dedup (no extra shuffle), and interior matches
-        # skip the refine kernel entirely
-        # (S2RegionCoverer.php:257-267 filter/refine split).
-        boundary = cell_union_difference(exterior, interior)
-        for c in boundary:
-            rows.append((rid, _sig(c), _lvl(c), False))
-        for c in interior:
-            rows.append((rid, _sig(c), _lvl(c), True))
+            max_level=max_level,
+            level_mod=level_mod,
+            max_cells=max_cells,
+        ).get_covering(region)
+        for c in exterior:
+            is_interior = region.contains_cell(Cell(c))
+            rows.append((rid, _sig(c), _lvl(c), bool(is_interior)))
     _COVERING_CACHE[key] = rows
     _disk_cache_store(key, rows)
     return rows
@@ -159,12 +163,41 @@ def _disk_cache_store(key, rows) -> None:
         pass
 
 
-def cell_union_difference(a_cells: list[int], b_cells: list[int]) -> list[int]:
-    """Normalized cell set A \\ B (S2CellUnion getDifference semantics,
+def cell_union_difference(
+    a_cells: list[int], b_cells: list[int], grid: tuple[int, ...] | None = None
+) -> list[int]:
+    """Cell set A \\ B (S2CellUnion getDifference semantics,
     S2CellUnion.php:227-313 family): split A cells recursively until
-    disjoint from or contained in B."""
+    disjoint from or contained in B.
+
+    With ``grid``, output cells are additionally split down to the
+    nearest grid level (keeps the banded-prefix join's explosion factor
+    at len(grid))."""
+    grid_set = set(grid) if grid else None
+
+    def on_grid(c: int) -> bool:
+        if grid_set is None:
+            return True
+        lsb = c & (-c & 0xFFFFFFFFFFFFFFFF)
+        level = 30 - ((lsb.bit_length() - 1) >> 1)
+        return level in grid_set
+
     if not b_cells:
-        return list(a_cells)
+        out0: list[int] = []
+
+        def snap(c: int) -> None:
+            if on_grid(c):
+                out0.append(c)
+                return
+            lsb = c & (-c & 0xFFFFFFFFFFFFFFFF)
+            child = c - lsb + (lsb >> 2)
+            step = (lsb >> 2) << 1
+            for k in range(4):
+                snap(child + k * step)
+
+        for c in (x & 0xFFFFFFFFFFFFFFFF for x in a_cells):
+            snap(c)
+        return out0
     b_ranges = sorted(
         ((c - ((c & -c) - 1)) & 0xFFFFFFFFFFFFFFFF,
          (c + ((c & -c) - 1)) & 0xFFFFFFFFFFFFFFFF)
@@ -189,12 +222,15 @@ def cell_union_difference(a_cells: list[int], b_cells: list[int]) -> list[int]:
         lsb = c & (-c & 0xFFFFFFFFFFFFFFFF)
         lo, hi = c - (lsb - 1), c + (lsb - 1)
         state = overlaps(lo, hi)
-        if state == "none":
+        if state == "none" and on_grid(c):
             out.append(c)
             return
         if state == "full":
             return
-        # split into 4 children
+        if lsb == 1:  # leaf that still partially overlaps: keep
+            out.append(c)
+            return
+        # split into 4 children (also used to snap onto the grid)
         child = c - lsb + (lsb >> 2)
         step = (lsb >> 2) << 1
         for k in range(4):
@@ -202,7 +238,9 @@ def cell_union_difference(a_cells: list[int], b_cells: list[int]) -> list[int]:
 
     for c in (x & 0xFFFFFFFFFFFFFFFF for x in a_cells):
         rec(c)
-    return normalize_cell_union(out)
+    if grid_set is None:
+        return normalize_cell_union(out)
+    return sorted(out)  # already disjoint; normalize would leave the grid
 
 
 def _sig(u: int) -> int:
@@ -232,23 +270,36 @@ def _refine_udf(regions: list[dict]):
     cache: dict[int, Region] = {}
 
     @F.pandas_udf(BooleanType())
-    def refine(lat: pd.Series, lon: pd.Series, region_id: pd.Series) -> pd.Series:
+    def refine(
+        lat: pd.Series,
+        lon: pd.Series,
+        region_id: pd.Series,
+        is_interior: pd.Series,
+    ) -> pd.Series:
         from ..s2core import geom
 
-        out = np.zeros(len(lat), dtype=bool)
-        if len(lat) == 0:
+        n = len(lat)
+        out = np.zeros(n, dtype=bool)
+        if n == 0:
+            return pd.Series(out)
+        # Interior-covering matches are containment-certain: pass
+        # through with zero kernel work (the filter/refine split).
+        interior = is_interior.to_numpy(bool)
+        out[interior] = True
+        todo = ~interior
+        if not np.any(todo):
             return pd.Series(out)
         rid_arr = region_id.to_numpy(np.int64)
         lat_arr = np.radians(lat.to_numpy(np.float64))
         lon_arr = np.radians(lon.to_numpy(np.float64))
         pts = geom.latlng_to_xyz(lat_arr, lon_arr)
-        for rid in np.unique(rid_arr):
+        for rid in np.unique(rid_arr[todo]):
             spec = specs[int(rid)]
             if int(rid) not in cache:
                 cache[int(rid)] = region_from_params(
                     spec["kind"], spec["params"], spec.get("loop_offsets")
                 )
-            mask = rid_arr == rid
+            mask = todo & (rid_arr == rid)
             out[mask] = cache[int(rid)].contains_points(pts[mask])
         return pd.Series(out)
 
@@ -296,18 +347,20 @@ def spatial_join(
     )
 
     # Covering rows are disjoint per region, so no dedup is needed.
-    # Split interior (certain) from boundary (refine) — a union of two
-    # narrow branches, still shuffle-free.
+    # SINGLE pass: the refine kernel receives is_interior and passes
+    # interior matches through untouched (masked, zero kernel work) —
+    # avoids a union that would re-execute the probe subtree twice.
     doc_cols = [c for c in docs.columns]
     out_cols = [*doc_cols, "region_id"]
-    interior_hits = joined.where(F.col("is_interior")).select(*out_cols)
     refine = _refine_udf(regions)
-    boundary_hits = (
-        joined.where(~F.col("is_interior"))
-        .where(refine(F.col(lat_col), F.col(lon_col), F.col("region_id")))
-        .select(*out_cols)
-    )
-    return interior_hits.unionByName(boundary_hits)
+    return joined.where(
+        refine(
+            F.col(lat_col),
+            F.col(lon_col),
+            F.col("region_id"),
+            F.col("is_interior"),
+        )
+    ).select(*out_cols)
 
 
 def _parent_col(cell_id, level: int):
