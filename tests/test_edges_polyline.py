@@ -1,0 +1,107 @@
+"""Edge coverings, loop-vs-loop relations, polyline proximity join."""
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from s2_geometry_library_php_spark.s2core import cellid as cid
+from s2_geometry_library_php_spark.s2core import edges, geom
+from s2_geometry_library_php_spark.s2core.region import LoopRegion
+
+
+def _covered(cells, leaf):
+    for c in cells:
+        lsb = c & (-c & 0xFFFFFFFFFFFFFFFF)
+        if c - (lsb - 1) <= leaf <= c + (lsb - 1):
+            return True
+    return False
+
+
+def test_edge_covering_covers_edge_samples():
+    a = geom.latlng_to_xyz(np.radians(40.0), np.radians(-70.0))
+    b = geom.latlng_to_xyz(np.radians(41.0), np.radians(-69.0))
+    cov, level = edges.edge_covering(np.asarray(a), np.asarray(b))
+    assert 1 <= len(cov) <= 4
+    # sample points along the geodesic must fall in the covering
+    for t in np.linspace(0, 1, 50):
+        p = geom.normalize(np.asarray(a) * (1 - t) + np.asarray(b) * t)
+        leaf = int(
+            cid.cell_id_from_point(
+                np.asarray(p[0]), np.asarray(p[1]), np.asarray(p[2])
+            )
+        )
+        assert _covered(cov, leaf)
+
+
+def test_edge_covering_long_edge_whole_sphere_fallback():
+    a = geom.latlng_to_xyz(np.radians(0.0), np.radians(0.0))
+    b = geom.latlng_to_xyz(np.radians(0.0), np.radians(120.0))
+    cov, level = edges.edge_covering(np.asarray(a), np.asarray(b))
+    assert level == 0 and len(cov) == 6
+
+
+def test_polyline_covering_covers_vertices():
+    verts = np.array([[48.85, 2.35], [49.0, 3.0], [49.5, 3.2], [50.0, 4.0]])
+    cov = edges.polyline_covering(verts)
+    pts = geom.latlng_to_xyz(np.radians(verts[:, 0]), np.radians(verts[:, 1]))
+    for p in pts:
+        leaf = int(
+            cid.cell_id_from_point(
+                np.asarray(p[0]), np.asarray(p[1]), np.asarray(p[2])
+            )
+        )
+        assert _covered(cov, leaf)
+
+
+def test_loop_relations():
+    outer = LoopRegion(np.array([[0.0, 0.0], [0.0, 20.0], [20.0, 20.0], [20.0, 0.0]]))
+    inner = LoopRegion(np.array([[5.0, 5.0], [5.0, 15.0], [15.0, 15.0], [15.0, 5.0]]))
+    shifted = LoopRegion(
+        np.array([[10.0, 10.0], [10.0, 30.0], [30.0, 30.0], [30.0, 10.0]])
+    )
+    apart = LoopRegion(
+        np.array([[-50.0, -50.0], [-50.0, -40.0], [-40.0, -40.0], [-40.0, -50.0]])
+    )
+    assert edges.loop_contains_loop(outer, inner)
+    assert not edges.loop_contains_loop(inner, outer)
+    assert edges.loop_intersects_loop(outer, inner)
+    assert edges.loop_intersects_loop(outer, shifted)
+    assert not edges.loop_contains_loop(outer, shifted)
+    assert not edges.loop_intersects_loop(outer, apart)
+    assert edges.contains_or_crosses(outer, inner) == 1
+    assert edges.contains_or_crosses(outer, shifted) == -1
+    assert edges.contains_or_crosses(outer, apart) == 0
+
+
+def test_polyline_proximity_join_matches_brute_force(spark, docs):
+    from s2_geometry_library_php_spark.operators.polyline_join import (
+        polyline_proximity_join,
+    )
+
+    polylines = [
+        {"line_id": 1, "vertices": [[0.0, -30.0], [10.0, -20.0], [20.0, -20.0]]},
+        {"line_id": 2, "vertices": [[-40.0, 100.0], [-35.0, 110.0]]},
+    ]
+    dist = 300e3 / 6371e3  # 300 km
+    d = docs.select("doc_id", "lat", "lon", "cell_id")
+    got = {
+        (int(r.doc_id), int(r.line_id))
+        for r in polyline_proximity_join(spark, d, polylines, dist).collect()
+    }
+    pdf = d.toPandas()
+    pts = geom.latlng_to_xyz(
+        np.radians(pdf.lat.to_numpy()), np.radians(pdf.lon.to_numpy())
+    )
+    expected = set()
+    for spec in polylines:
+        v = np.asarray(spec["vertices"], dtype=np.float64)
+        verts = geom.normalize(
+            geom.latlng_to_xyz(np.radians(v[:, 0]), np.radians(v[:, 1]))
+        )
+        best = np.full(len(pts), np.inf)
+        for k in range(len(verts) - 1):
+            best = np.minimum(
+                best, geom.edge_distance_radians(pts, verts[k], verts[k + 1])
+            )
+        for doc in pdf.doc_id.to_numpy()[best <= dist]:
+            expected.add((int(doc), spec["line_id"]))
+    assert got == expected
