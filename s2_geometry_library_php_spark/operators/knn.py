@@ -113,12 +113,17 @@ def knn_join(
     if start_level is None:
         start_level = auto_start_level(docs.count(), k)
 
-    remaining = (
+    cached_frames: list[DataFrame] = []
+
+    def _cache(df: DataFrame) -> DataFrame:
+        df = df.cache()
+        cached_frames.append(df)
+        return df
+
+    remaining = _cache(
         probes.select(
             probe_id, F.col("lat").alias("_plat"), F.col("lon").alias("_plon")
-        )
-        .withColumn("_pleaf", s2_cell_id(F.col("_plat"), F.col("_plon")))
-        .cache()
+        ).withColumn("_pleaf", s2_cell_id(F.col("_plat"), F.col("_plon")))
     )
     results: list[DataFrame] = []
     level = start_level
@@ -147,24 +152,25 @@ def knn_join(
         w = Window.partitionBy(probe_id).orderBy(
             F.col("dist_rad").asc(), F.col(doc_id).asc()
         )
-        topk = (
+        topk = _cache(
             cand.select(probe_id, doc_id, dist)
             .withColumn("rank", F.row_number().over(w))
             .where(F.col("rank") <= k)
-            .cache()
         )
         # Exactness: k candidates found AND kth distance < MIN_WIDTH(L).
         guarantee = float(MIN_WIDTH.get_value(level))
         stats = topk.groupBy(probe_id).agg(
             F.count(F.lit(1)).alias("_n"), F.max("dist_rad").alias("_kth")
         )
-        ok_ids = stats.where(
-            (F.col("_n") >= k) & (F.col("_kth") < F.lit(guarantee))
-        ).select(probe_id).cache()
+        ok_ids = _cache(
+            stats.where(
+                (F.col("_n") >= k) & (F.col("_kth") < F.lit(guarantee))
+            ).select(probe_id)
+        )
         results.append(topk.join(F.broadcast(ok_ids), probe_id, "leftsemi"))
-        remaining = remaining.join(
-            F.broadcast(ok_ids), probe_id, "leftanti"
-        ).cache()
+        remaining = _cache(
+            remaining.join(F.broadcast(ok_ids), probe_id, "leftanti")
+        )
         level -= 2  # 16x coarser candidate cells per round
     if not remaining.isEmpty():
         # Final fallback: brute force for the stragglers.
@@ -184,4 +190,11 @@ def knn_join(
     out = results[0]
     for r in results[1:]:
         out = out.unionByName(r)
+    # Materialize before unpersisting the per-round caches.
+    out = out.localCheckpoint(eager=True)
+    for df in cached_frames:
+        try:
+            df.unpersist()
+        except Exception:  # noqa: BLE001
+            pass
     return out

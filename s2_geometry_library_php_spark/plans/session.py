@@ -33,9 +33,17 @@ def get_spark(
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
         # Broadcast the covering table even if stats are conservative.
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "24g"))
         .config("spark.ui.enabled", "false")
-        .config("spark.driver.extraJavaOptions", "-Djava.net.preferIPv4Stack=true")
+        # Many distinct generated WholeStageCodegen classes across a
+        # query suite overflow the default 240MB JIT code cache, after
+        # which the JVM silently stops compiling and later queries run
+        # interpreted (observed 10-30x slowdowns mid-suite).
+        .config(
+            "spark.driver.extraJavaOptions",
+            "-Djava.net.preferIPv4Stack=true -XX:ReservedCodeCacheSize=2g "
+            "-XX:+UseCodeCacheFlushing",
+        )
     )
     return builder.getOrCreate()
 
