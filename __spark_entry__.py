@@ -110,6 +110,32 @@ UNION_FIXTURE_CAPS = [
 ]
 EXPAND_FIXTURE = (48.85, 2.35, 0.02, 8, 0.01, 2)  # lat,lng,angle,max_cells,radius,max_level_diff
 
+POLYLINE_FIXTURES = [
+    # through the Paris hot tile (dense probe mass)
+    dict(line_id=1, vertices=[[48.5, 1.8], [48.9, 2.4], [49.3, 3.0]]),
+    # antimeridian-crossing geodesic chain
+    dict(line_id=2, vertices=[[-20.0, 175.0], [-12.0, -178.0], [-5.0, -170.0]]),
+]
+POLYLINE_MAX_DIST = 0.01  # radians (~64 km)
+DIST_PROBE = (48.8566, 2.3522)
+
+# Shared SQL text (valid in BOTH Spark SQL and DuckDB) for the
+# dual-SQL oracles; `e0` suffixes force DOUBLE literals in both.
+E6_SQL = "CAST(round(lat * 1e6) AS BIGINT)"
+E7_SQL = "CAST(round(lon * 1e7) AS BIGINT)"
+E6_BACK_SQL = f"{E6_SQL} / 1e6"
+E7_BACK_SQL = f"{E7_SQL} / 1e7"
+RECT_PREDICATES = [
+    # region 4: plain rect (S2LatLngRect.contains as native SQL)
+    (4, "lat >= 35.0e0 AND lat <= 45.0e0 AND lon >= -10.0e0 AND lon <= 10.0e0"),
+    # region 5: antimeridian wrap (inverted lng interval disjunction)
+    (5, "lat >= -15.0e0 AND lat <= 15.0e0 AND (lon >= 170.0e0 OR lon <= -170.0e0)"),
+    # region 6: pole-touching full-lng band
+    (6, "lat >= 80.0e0"),
+]
+# per-leaf average area steradians: 4*pi over 6*4^30 leaves
+AVG_LEAF_AREA_SR = 4.0 * np.pi / (6.0 * 4.0**30)
+
 
 def _union_fixture_coverings():
     from s2_geometry_library_php_spark.s2core.coverer import RegionCoverer
@@ -458,6 +484,177 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             ).alias("f_sum"),
         )
 
+    def q_tile_polygons(spark, sf):
+        """Raster<->vector materialization: distinct level-8 tiles ->
+        corner polygon + center keyed by token (north star)."""
+        from s2_geometry_library_php_spark.functions.sql_bitops import (
+            s2_parent,
+        )
+        from s2_geometry_library_php_spark.operators.tiling import (
+            tile_polygons,
+        )
+
+        tiles = (
+            _docs(spark, sf)
+            .select(s2_parent(F.col("cell_id"), TILE_LEVEL).alias("tile_id"))
+            .distinct()
+        )
+        out = tile_polygons(tiles)
+        vcols = [
+            F.element_at("vertices", i + 1).alias(
+                f"v{i // 2}_{'lat' if i % 2 == 0 else 'lng'}"
+            )
+            for i in range(8)
+        ]
+        return out.select("tile_token", *vcols, "center_lat", "center_lon")
+
+    def q_cell_difference(spark, sf):
+        from s2_geometry_library_php_spark.operators.cellsets import (
+            cells_difference,
+        )
+
+        a_df, b_df = _union_fixture_frames(spark)
+        return cells_difference(a_df, b_df).select(
+            s2_token_sql("cell_id").alias("token")
+        )
+
+    def q_polyline_join(spark, sf):
+        from s2_geometry_library_php_spark.operators.polyline_join import (
+            polyline_proximity_join,
+        )
+
+        docs = _docs(spark, sf).select("doc_id", "lat", "lon", "cell_id")
+        out = polyline_proximity_join(
+            spark, docs, POLYLINE_FIXTURES, POLYLINE_MAX_DIST
+        )
+        return out.select("doc_id", "line_id")
+
+    def q_cell_neighbors(spark, sf):
+        from s2_geometry_library_php_spark.functions.udfs import (
+            s2_all_neighbors_udf,
+            s2_edge_neighbors_udf,
+        )
+
+        a_df, _ = _union_fixture_frames(spark)
+        edge = a_df.select(
+            "cell_id",
+            F.lit("edge").alias("kind"),
+            F.explode(s2_edge_neighbors_udf(F.col("cell_id"))).alias("nbr"),
+        )
+        ring = a_df.select(
+            "cell_id",
+            F.lit("all").alias("kind"),
+            F.explode(s2_all_neighbors_udf(F.col("cell_id"))).alias("nbr"),
+        )
+        return edge.unionByName(ring).select(
+            s2_token_sql("cell_id").alias("token"),
+            "kind",
+            s2_token_sql("nbr").alias("neighbor_token"),
+        )
+
+    def q_covering_measures(spark, sf):
+        """S2CellUnion measures as native SQL: cell count,
+        leafCellsCovered (= sum of lowest-on-bit), average-based area
+        (S2CellUnion.php:493-548)."""
+        cov = build_covering_table(spark, region_fixtures())
+        lsb = F.expr("cov_cell & -cov_cell")
+        return cov.groupBy("region_id").agg(
+            F.count(F.lit(1)).alias("n_cells"),
+            F.sum(lsb).alias("leaf_cells"),
+            (F.sum(lsb).cast("double") * F.lit(AVG_LEAF_AREA_SR)).alias(
+                "avg_area_sr"
+            ),
+        )
+
+    def q_e6_roundtrip(spark, sf):
+        d = _docs(spark, sf)
+        return d.select(
+            "doc_id",
+            F.expr(E6_SQL).alias("lat_e6"),
+            F.expr(E7_SQL).alias("lon_e7"),
+            F.expr(E6_BACK_SQL).alias("lat6"),
+            F.expr(E7_BACK_SQL).alias("lon7"),
+        )
+
+    def q_rect_filter(spark, sf):
+        d = _docs(spark, sf).select("doc_id", "lat", "lon")
+        out = None
+        for rid, pred in RECT_PREDICATES:
+            part = d.where(F.expr(pred)).select(
+                "doc_id", F.lit(rid).cast("long").alias("region_id")
+            )
+            out = part if out is None else out.unionByName(part)
+        return out
+
+    def q_hilbert_sort(spark, sf):
+        """Hilbert-order global rank (S2CellId unsigned comparator,
+        S2CellId.php:907-920).  The production write path is
+        tiling.hilbert_sorted_writer (sortWithinPartitions after a
+        range repartition — no global window); this query surfaces the
+        order itself for vector matching."""
+        from pyspark.sql import Window
+
+        from s2_geometry_library_php_spark.functions.sql_bitops import (
+            s2_unsigned_order,
+        )
+
+        d = _docs(spark, sf).select("doc_id", "cell_id")
+        w = Window.orderBy(
+            s2_unsigned_order(F.col("cell_id")), F.col("doc_id")
+        )
+        return d.select(
+            "doc_id", F.row_number().over(w).cast("long").alias("hilbert_pos")
+        )
+
+    def q_distance_probe(spark, sf):
+        from s2_geometry_library_php_spark.functions.udfs import (
+            s2_distance_rad,
+        )
+
+        d = _docs(spark, sf)
+        return d.select(
+            "doc_id",
+            s2_distance_rad(
+                F.col("lat"),
+                F.col("lon"),
+                F.lit(DIST_PROBE[0]),
+                F.lit(DIST_PROBE[1]),
+            ).alias("dist_rad"),
+        )
+
+    def q_streaming_tiles(spark, sf):
+        """Structured-Streaming twin of tile_counts_l8: file-stream
+        source -> watermarked windowed counts -> memory sink (complete
+        mode, availableNow) -> per-tile totals.  Must equal the batch
+        tiling exactly (same oracle)."""
+        from s2_geometry_library_php_spark.sources.documents import (
+            stream_documents,
+        )
+        from s2_geometry_library_php_spark.streaming import (
+            incremental_tile_stream,
+        )
+
+        tiles = incremental_tile_stream(
+            stream_documents(spark, sf),
+            tile_level=TILE_LEVEL,
+            window="6 hours",
+            watermark="1 hour",
+        )
+        name = "stream_tiles_out"
+        q = (
+            tiles.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return (
+            spark.table(name)
+            .groupBy("tile_token")
+            .agg(F.sum("doc_count").alias("doc_count"))
+        )
+
     return {
         "geocode": q_geocode,
         "cell_tokens": q_cell_tokens,
@@ -485,6 +682,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_pricing": q_tpch_pricing,
         "revenue_window": q_revenue_window,
         "multimodal_features": q_multimodal,
+        "tile_polygons": q_tile_polygons,
+        "cell_difference": q_cell_difference,
+        "polyline_join": q_polyline_join,
+        "cell_neighbors": q_cell_neighbors,
+        "covering_measures": q_covering_measures,
+        "e6_roundtrip": q_e6_roundtrip,
+        "rect_filter": q_rect_filter,
+        "hilbert_sort": q_hilbert_sort,
+        "distance_probe": q_distance_probe,
+        "streaming_tiles": q_streaming_tiles,
     }
 
 
@@ -655,6 +862,118 @@ def _kernel_oracles() -> dict[str, str]:
         _expand_fixture_rows(), [("token", "VARCHAR")]
     )
 
+    # raster<->vector tile polygons (same kernels as the UDFs ->
+    # bit-identical doubles, no rounding)
+    from s2_geometry_library_php_spark.s2core.cell import (
+        cell_vertices_latlng,
+    )
+
+    tiles8 = np.unique(cid.parent(leaf, TILE_LEVEL))
+    tok8 = cid.token_from_id(tiles8)
+    verts = cell_vertices_latlng(tiles8).reshape(len(tiles8), 8)
+    tlat, tlng = cid.cell_id_to_center_latlng(tiles8)
+    poly_rows = [
+        (tok8[i], *verts[i].tolist(), float(np.degrees(tlat[i])),
+         float(np.degrees(tlng[i])))
+        for i in range(len(tiles8))
+    ]
+    poly_cols = [("tile_token", "VARCHAR")]
+    for k in range(4):
+        poly_cols += [(f"v{k}_lat", "DOUBLE"), (f"v{k}_lng", "DOUBLE")]
+    poly_cols += [("center_lat", "DOUBLE"), ("center_lon", "DOUBLE")]
+    _ORACLE_CACHE["tile_polygons"] = _values_sql(poly_rows, poly_cols)
+
+    # streaming tiles must equal the batch tiling exactly
+    _ORACLE_CACHE["streaming_tiles"] = _ORACLE_CACHE["tile_counts_l8"]
+
+    # cell-set difference vs the driver kernel
+    from s2_geometry_library_php_spark.operators.spatial_join import (
+        cell_union_difference,
+    )
+
+    diff_kernel = cell_union_difference(list(a_cov), list(b_cov))
+    _ORACLE_CACHE["cell_difference"] = _values_sql(
+        [(t,) for t in cid.token_from_id(np.asarray(diff_kernel, dtype=np.uint64))],
+        [("token", "VARCHAR")],
+    )
+
+    # polyline proximity join: independent brute force (all docs x all
+    # edges, no coverings)
+    rows = []
+    for spec in POLYLINE_FIXTURES:
+        v = np.asarray(spec["vertices"], dtype=np.float64)
+        lverts = geom.normalize(
+            geom.latlng_to_xyz(np.radians(v[:, 0]), np.radians(v[:, 1]))
+        )
+        best = np.full(len(pts), np.inf)
+        for k in range(len(lverts) - 1):
+            best = np.minimum(
+                best,
+                geom.edge_distance_radians(pts, lverts[k], lverts[k + 1]),
+            )
+        rows.extend(
+            (int(d), int(spec["line_id"]))
+            for d in doc_id[best <= POLYLINE_MAX_DIST]
+        )
+    _ORACLE_CACHE["polyline_join"] = _values_sql(
+        rows, [("doc_id", "BIGINT"), ("line_id", "BIGINT")]
+    )
+
+    # neighbors of the fixture covering cells
+    a_arr = np.asarray(a_cov, dtype=np.uint64)
+    a_tok = cid.token_from_id(a_arr)
+    rows = []
+    edge_n = cid.edge_neighbors(a_arr)
+    all_n = cid.all_neighbors(a_arr)
+    for i in range(len(a_arr)):
+        for t in cid.token_from_id(edge_n[i]):
+            rows.append((a_tok[i], "edge", t))
+        for t in cid.token_from_id(np.unique(all_n[i])):
+            rows.append((a_tok[i], "all", t))
+    _ORACLE_CACHE["cell_neighbors"] = _values_sql(
+        rows,
+        [("token", "VARCHAR"), ("kind", "VARCHAR"), ("neighbor_token", "VARCHAR")],
+    )
+
+    # covering measures (python big-int lsb sums; double conversion
+    # mirrors Spark's bigint->double cast exactly)
+    meas: dict[int, tuple[int, int]] = {}
+    for rid, c_signed, _l, _i in cov_rows:
+        c = c_signed & 0xFFFFFFFFFFFFFFFF
+        lsb = c & (-c & 0xFFFFFFFFFFFFFFFF)
+        n, s = meas.get(rid, (0, 0))
+        meas[rid] = (n + 1, s + lsb)
+    _ORACLE_CACHE["covering_measures"] = _values_sql(
+        [
+            (rid, n, s, float(s) * AVG_LEAF_AREA_SR)
+            for rid, (n, s) in sorted(meas.items())
+        ],
+        [
+            ("region_id", "BIGINT"),
+            ("n_cells", "BIGINT"),
+            ("leaf_cells", "BIGINT"),
+            ("avg_area_sr", "DOUBLE"),
+        ],
+    )
+
+    # hilbert order positions (unsigned leaf id, doc_id tie-break)
+    order = np.lexsort((doc_id, leaf))
+    _ORACLE_CACHE["hilbert_sort"] = _values_sql(
+        [(int(doc_id[idx]), pos + 1) for pos, idx in enumerate(order)],
+        [("doc_id", "BIGINT"), ("hilbert_pos", "BIGINT")],
+    )
+
+    # distance to fixed probe (same angle_between kernel as the UDF)
+    probe = geom.latlng_to_xyz(
+        np.radians(np.asarray([DIST_PROBE[0]])),
+        np.radians(np.asarray([DIST_PROBE[1]])),
+    )
+    dists = geom.angle_between(probe, pts)
+    _ORACLE_CACHE["distance_probe"] = _values_sql(
+        list(zip(doc_id.tolist(), dists.tolist())),
+        [("doc_id", "BIGINT"), ("dist_rad", "DOUBLE")],
+    )
+
     # multimodal (deterministic fake features, same python)
     from s2_geometry_library_php_spark.functions.multimodal import (
         _fake_feature,
@@ -815,6 +1134,25 @@ SELECT n_name, revenue,
        CAST(row_number() OVER (ORDER BY revenue DESC, n_name ASC) AS BIGINT) AS rank
 FROM rev
 """
+
+    geocode_cte = (
+        f"SELECT doc_id, {GEOCODE_LAT_SQL} AS lat, "
+        f"{GEOCODE_LON_SQL} AS lon FROM documents"
+    )
+    out["e6_roundtrip"] = (
+        f"WITH d AS ({geocode_cte}) "
+        f"SELECT doc_id, {E6_SQL} AS lat_e6, {E7_SQL} AS lon_e7, "
+        f"{E6_BACK_SQL} AS lat6, {E7_BACK_SQL} AS lon7 FROM d"
+    )
+
+    out["rect_filter"] = (
+        f"WITH d AS ({geocode_cte}) "
+        + " UNION ALL ".join(
+            f"SELECT doc_id, CAST({rid} AS BIGINT) AS region_id "
+            f"FROM d WHERE {pred}"
+            for rid, pred in RECT_PREDICATES
+        )
+    )
 
     # --- kernel-backed VALUES oracles ------------------------------------------
     out.update(_kernel_oracles())

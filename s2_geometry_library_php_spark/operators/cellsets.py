@@ -169,6 +169,76 @@ def cells_intersection(
     return a_in_b.unionByName(b_in_a).dropDuplicates([cell_col])
 
 
+def cells_difference(
+    a: DataFrame, b: DataFrame, cell_col: str = "cell_id",
+    max_iterations: int = 31,
+) -> DataFrame:
+    """A \\ B for NORMALIZED cell sets (S2CellUnion getDifference
+    semantics, S2CellUnion.php:227-313 family), distributed.
+
+    Quadtree ranges are aligned, so two cells' ranges intersect iff
+    one contains the other.  Per round, each frontier cell joins the
+    broadcast B ranges and is classified: disjoint from all of B ->
+    emit; contained in some B cell -> drop; else (it strictly contains
+    B cells) -> split into its 4 children and retry.  Depth is bounded
+    by max level present in B, and the frontier shrinks geometrically;
+    result is re-normalized (sibling collapse) like the reference's
+    ``Init``-on-result."""
+    br = _with_ranges(b.select(cell_col), cell_col).select(
+        F.col("_ord").alias("_b_lo"), F.col("_ord_max").alias("_b_hi")
+    )
+    spark = a.sparkSession
+    frontier = a.select(cell_col)
+    result: DataFrame | None = None
+    empty = spark.createDataFrame([], f"{cell_col} long")
+    for it in range(max_iterations):
+        fr = _with_ranges(frontier, cell_col)
+        flags = (
+            fr.join(
+                F.broadcast(br),
+                (F.col("_ord") <= F.col("_b_hi"))
+                & (F.col("_ord_max") >= F.col("_b_lo")),
+                "left",
+            )
+            .groupBy(cell_col, "_ord", "_ord_max")
+            .agg(
+                F.max(
+                    (F.col("_b_lo") <= F.col("_ord"))
+                    & (F.col("_b_hi") >= F.col("_ord_max"))
+                ).alias("_contained"),
+                F.max(F.col("_b_lo").isNotNull()).alias("_overlaps"),
+            )
+        )
+        keep = flags.where(~F.col("_overlaps")).select(cell_col)
+        result = keep if result is None else result.unionByName(keep)
+        split = flags.where(
+            F.col("_overlaps") & ~F.coalesce(F.col("_contained"), F.lit(False))
+        ).select(cell_col)
+        if split.isEmpty():
+            break
+        # 4 children: child_k = id - lsb + (2k+1) * (lsb >> 2)
+        lsb = F.expr(f"{cell_col} & -{cell_col}")
+        nl = F.shiftright(lsb, 2)
+        frontier = split.select(
+            F.explode(
+                F.array(
+                    *[
+                        (F.col(cell_col) - lsb + F.lit(2 * k + 1) * nl).alias(
+                            f"c{k}"
+                        )
+                        for k in range(4)
+                    ]
+                )
+            ).alias(cell_col)
+        )
+        if (it + 1) % 4 == 0:
+            frontier = frontier.localCheckpoint(eager=True)
+            result = result.localCheckpoint(eager=True)
+    if result is None:
+        return empty
+    return normalize_cells(result, cell_col)
+
+
 def cells_contain_point(
     cells: DataFrame, leaf: DataFrame, cell_col: str = "cell_id",
     leaf_col: str = "leaf_id",

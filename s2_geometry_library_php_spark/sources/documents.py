@@ -91,6 +91,18 @@ def extract_text(html: pd.Series) -> pd.Series:
     return html.map(_one)
 
 
+def derive_corpus_columns(df: DataFrame) -> DataFrame:
+    """Attach the deterministic url/warc_ts/geocode derivations to any
+    documents-shaped frame (works identically on batch and streaming
+    inputs — every expression is stateless per-row scalar SQL)."""
+    return (
+        df.withColumn("url", F.expr(URL_SQL))
+        .withColumn("warc_ts", F.expr(WARC_TS_SQL))
+        .withColumn("lat", F.expr(GEOCODE_LAT_SQL))
+        .withColumn("lon", F.expr(GEOCODE_LON_SQL))
+    )
+
+
 def load_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents.parquet -> full corpus schema with derived columns.
 
@@ -99,12 +111,34 @@ def load_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     only materialized when selected — Catalyst prunes it otherwise).
     """
     df = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    return (
-        df.withColumn("url", F.expr(URL_SQL))
-        .withColumn("warc_ts", F.expr(WARC_TS_SQL))
-        .withColumn("lat", F.expr(GEOCODE_LAT_SQL))
-        .withColumn("lon", F.expr(GEOCODE_LON_SQL))
-    )
+    return derive_corpus_columns(df)
+
+
+def stream_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured-Streaming twin of :func:`load_documents`: the same
+    parquet treated as a file-stream source (schema pinned from the
+    batch reader), with identical derived columns.
+
+    The file-stream source requires a *directory* basePath, so the
+    single table file is exposed through a scratch directory holding a
+    symlink (one per sf_dir, reused across calls)."""
+    import hashlib
+    import os
+    import tempfile
+
+    src = os.path.abspath(f"{sf_dir}/documents.parquet")
+    tag = hashlib.md5(src.encode()).hexdigest()[:12]
+    stage = os.path.join(tempfile.gettempdir(), f"s2stream_{tag}")
+    os.makedirs(stage, exist_ok=True)
+    link = os.path.join(stage, "documents.parquet")
+    if not os.path.exists(link):
+        try:
+            os.symlink(src, link)
+        except FileExistsError:
+            pass
+    schema = spark.read.parquet(src).schema
+    df = spark.readStream.schema(schema).format("parquet").load(stage)
+    return derive_corpus_columns(df)
 
 
 def duckdb_documents_cte(sf_dir_or_view: str = "documents") -> str:

@@ -109,3 +109,25 @@ def test_cells_contain_point_semijoin(spark):
         if bool(np.any((lo <= leaf) & (leaf <= hi))):
             expected.add(i)
     assert got == expected
+
+
+def test_cells_difference_matches_kernel(spark):
+    from s2_geometry_library_php_spark.operators.cellsets import (
+        cells_difference,
+    )
+    from s2_geometry_library_php_spark.operators.spatial_join import (
+        cell_union_difference,
+    )
+
+    a = RegionCoverer(max_cells=16).get_covering(CapRegion(0.0, 0.0, 0.08))
+    b = RegionCoverer(max_cells=16).get_covering(CapRegion(2.0, 2.0, 0.08))
+    for x, y in ((a, b), (b, a)):
+        expected = cell_union_difference(list(x), list(y))
+        got = _from_df(cells_difference(_to_df(spark, x), _to_df(spark, y)))
+        assert got == sorted(expected)
+    # A \ A = empty; A \ disjoint = A (already normalized)
+    assert _from_df(cells_difference(_to_df(spark, a), _to_df(spark, a))) == []
+    far = RegionCoverer(max_cells=8).get_covering(CapRegion(60.0, 120.0, 0.02))
+    assert _from_df(
+        cells_difference(_to_df(spark, a), _to_df(spark, far))
+    ) == sorted(normalize_cell_union(list(a)))

@@ -211,3 +211,44 @@ def test_extract_text_byte_identical(spark, docs):
         .count()
     )
     assert bad == 0
+
+
+def test_streaming_tiles_equals_batch(spark, docs):
+    """availableNow streaming pass over the same parquet must reproduce
+    the batch tiling exactly (stateless encode + windowed counts)."""
+    from pyspark.sql import functions as F
+
+    from s2_geometry_library_php_spark.operators import tile_aggregate
+    from s2_geometry_library_php_spark.sources.documents import (
+        stream_documents,
+    )
+    from s2_geometry_library_php_spark.streaming import (
+        incremental_tile_stream,
+    )
+
+    import tests.conftest as cf
+
+    tiles = incremental_tile_stream(
+        stream_documents(spark, cf.SF), tile_level=8, window="6 hours",
+        watermark="1 hour",
+    )
+    q = (
+        tiles.writeStream.format("memory")
+        .queryName("t_stream_tiles")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r.tile_token, r.n)
+        for r in spark.table("t_stream_tiles")
+        .groupBy("tile_token")
+        .agg(F.sum("doc_count").alias("n"))
+        .collect()
+    }
+    expected = {
+        (r.tile_token, r.doc_count)
+        for r in tile_aggregate(docs, 8).select("tile_token", "doc_count").collect()
+    }
+    assert got == expected
