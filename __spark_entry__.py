@@ -136,6 +136,32 @@ RECT_PREDICATES = [
 # per-leaf average area steradians: 4*pi over 6*4^30 leaves
 AVG_LEAF_AREA_SR = 4.0 * np.pi / (6.0 * 4.0**30)
 
+# polygon boolean-op fixtures: two overlapping quads (degrees)
+BOOL_A_PARAMS = [0.0, 0.0, 0.0, 30.0, 30.0, 30.0, 30.0, 0.0]
+BOOL_B_PARAMS = [15.0, 15.0, 15.0, 45.0, 45.0, 45.0, 45.0, 15.0]
+
+
+def _boolean_region_specs() -> list[dict]:
+    """Derived regions: 101 = A∩B, 102 = A∪B, 103 = A\\B (driver-side
+    clip + assembly, consumed by the ordinary spatial join)."""
+    from s2_geometry_library_php_spark.s2core.polygon_ops import (
+        polygon_difference,
+        polygon_intersection,
+        polygon_to_spec,
+        polygon_union,
+    )
+    from s2_geometry_library_php_spark.s2core.region import (
+        region_from_params,
+    )
+
+    a = region_from_params("polygon", BOOL_A_PARAMS, [0])
+    b = region_from_params("polygon", BOOL_B_PARAMS, [0])
+    return [
+        polygon_to_spec(101, polygon_intersection(a, b)),
+        polygon_to_spec(102, polygon_union(a, b)),
+        polygon_to_spec(103, polygon_difference(a, b)),
+    ]
+
 
 def _union_fixture_coverings():
     from s2_geometry_library_php_spark.s2core.coverer import RegionCoverer
@@ -655,6 +681,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .agg(F.sum("doc_count").alias("doc_count"))
         )
 
+    def q_polygon_booleans(spark, sf):
+        """Docs joined against polygon boolean-op results (A∩B, A∪B,
+        A\\B clipped on the driver, then the standard covering join +
+        refine)."""
+        docs = _docs(spark, sf).select("doc_id", "lat", "lon", "cell_id")
+        return spatial_join(spark, docs, _boolean_region_specs()).select(
+            "doc_id", "region_id"
+        )
+
     return {
         "geocode": q_geocode,
         "cell_tokens": q_cell_tokens,
@@ -692,6 +727,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hilbert_sort": q_hilbert_sort,
         "distance_probe": q_distance_probe,
         "streaming_tiles": q_streaming_tiles,
+        "polygon_booleans": q_polygon_booleans,
     }
 
 
@@ -961,6 +997,24 @@ def _kernel_oracles() -> dict[str, str]:
     _ORACLE_CACHE["hilbert_sort"] = _values_sql(
         [(int(doc_id[idx]), pos + 1) for pos, idx in enumerate(order)],
         [("doc_id", "BIGINT"), ("hilbert_pos", "BIGINT")],
+    )
+
+    # polygon booleans: INDEPENDENT oracle — membership computed from
+    # the ORIGINAL polygons A and B with pointwise set algebra, never
+    # touching the clipped result (validates clip + assembly + join)
+    a_reg = region_from_params("polygon", BOOL_A_PARAMS, [0])
+    b_reg = region_from_params("polygon", BOOL_B_PARAMS, [0])
+    in_a = a_reg.contains_points(pts)
+    in_b = b_reg.contains_points(pts)
+    rows = []
+    for rid, mask in (
+        (101, in_a & in_b),
+        (102, in_a | in_b),
+        (103, in_a & ~in_b),
+    ):
+        rows.extend((int(d), rid) for d in doc_id[mask])
+    _ORACLE_CACHE["polygon_booleans"] = _values_sql(
+        rows, [("doc_id", "BIGINT"), ("region_id", "BIGINT")]
     )
 
     # distance to fixed probe (same angle_between kernel as the UDF)

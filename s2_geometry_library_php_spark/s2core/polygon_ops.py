@@ -1,0 +1,202 @@
+"""Polygon boolean operations (driver-side kernel).
+
+The reference documents these as ``S2Polygon::initToIntersection /
+initToUnion`` via ``clipBoundary`` + ``S2PolygonBuilder`` assembly
+(S2Polygon.php:599-707 comment text, S2PolygonBuilder.php:432-495) —
+all commented-out Java there; this is a from-scratch realization of
+the same semantics:
+
+1. **Clip**: every edge of A is split at its robust crossings with B's
+   edges (S2EdgeUtil.getIntersection, S2EdgeUtil.php:199-250); each
+   sub-piece is kept or dropped by testing its midpoint against B
+   (inside for intersection, outside for union).  Symmetrically for
+   B's edges against A.
+2. **Assemble**: the kept directed edges chain start→end into closed
+   loops (the builder's undirected-edge assembly specialized to the
+   clean output of step 1: every vertex has exactly one outgoing
+   piece, because input polygons are valid — no shared edges,
+   S2Polygon.php:161-197).
+
+Interior-on-the-left orientation is preserved by construction, so the
+assembled loops are directly valid S2 loops for the resulting region.
+
+Like the reference, this runs where the region dimension lives — on
+the driver, at plan-build time; the *distributed* uses (spatial join
+against a clipped region, covering build) consume the result as an
+ordinary region spec.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from . import geom
+from .region import LoopRegion, PolygonRegion
+
+
+def edge_intersection(
+    a0: np.ndarray, a1: np.ndarray, b0: np.ndarray, b1: np.ndarray
+) -> np.ndarray:
+    """Intersection point of two crossing geodesic edges
+    (S2EdgeUtil.php:199-250 semantics; caller guarantees
+    robust_crossing(a0,a1,b0,b1) > 0).
+
+    The point is the unit cross product of the two edge normals,
+    signed into the hemisphere of the edge endpoints.  Swapping edge
+    order yields bit-identical output (the cross product negates
+    exactly, and the hemisphere fix restores the sign), which the loop
+    assembly's exact-match chaining relies on."""
+    n_a = geom.robust_cross_prod(a0, a1)
+    n_b = geom.robust_cross_prod(b0, b1)
+    x = geom.robust_cross_prod(n_a, n_b)
+    x = x / np.linalg.norm(x)
+    if float(np.dot(x, a0 + a1 + b0 + b1)) < 0.0:
+        x = -x
+    return x
+
+
+def _loop_edges(region: PolygonRegion):
+    for lp in region.loops:
+        v = lp.vertices
+        m = len(v)
+        for k in range(m):
+            yield v[k], v[(k + 1) % m]
+
+
+def clip_boundary(
+    a: PolygonRegion, b: PolygonRegion, keep_inside_b: bool,
+    reverse: bool = False,
+) -> list[tuple[np.ndarray, np.ndarray]]:
+    """Pieces of A's boundary that lie inside (or outside) B.
+
+    Every A-edge is subdivided at its crossings with B's edges; a
+    piece survives iff its midpoint is inside B == ``keep_inside_b``.
+    With ``reverse`` the surviving pieces are emitted end→start
+    (used by difference, where B's clipped boundary bounds holes)."""
+    out: list[tuple[np.ndarray, np.ndarray]] = []
+    b_edges = list(_loop_edges(b))
+    for v0, v1 in _loop_edges(a):
+        cross_pts = []
+        for w0, w1 in b_edges:
+            if geom.robust_crossing(v0, v1, w0, w1) > 0:
+                cross_pts.append(edge_intersection(v0, v1, w0, w1))
+        # order splits along the edge by angle from v0
+        cross_pts.sort(key=lambda p: float(geom.angle_between(v0[None], p[None])[0]))
+        chain = [v0, *cross_pts, v1]
+        for i in range(len(chain) - 1):
+            mid = chain[i] + chain[i + 1]
+            mid = mid / np.linalg.norm(mid)
+            inside = bool(b.contains_points(mid[None, :])[0])
+            if inside == keep_inside_b:
+                piece = (chain[i + 1], chain[i]) if reverse else (chain[i], chain[i + 1])
+                out.append(piece)
+    return out
+
+
+def _key(p: np.ndarray) -> tuple:
+    # Chaining key: crossings are bit-identical from both clip passes
+    # (see edge_intersection), original vertices verbatim — a light
+    # rounding only guards against that invariant breaking.
+    return tuple(np.round(p, 14))
+
+
+def assemble_loops(
+    pieces: list[tuple[np.ndarray, np.ndarray]]
+) -> list[np.ndarray]:
+    """Chain directed edge pieces into closed loops (the
+    S2PolygonBuilder assembly, S2PolygonBuilder.php:432-495, for the
+    degenerate-free output of clip_boundary)."""
+    start_index: dict[tuple, list[int]] = {}
+    for idx, (p, _q) in enumerate(pieces):
+        start_index.setdefault(_key(p), []).append(idx)
+    used = [False] * len(pieces)
+    loops: list[np.ndarray] = []
+    for idx in range(len(pieces)):
+        if used[idx]:
+            continue
+        chain = [pieces[idx][0]]
+        cur = idx
+        closed = False
+        while not used[cur]:
+            used[cur] = True
+            end = pieces[cur][1]
+            k = _key(end)
+            if k == _key(chain[0]):
+                closed = True
+                break
+            chain.append(end)
+            nxt = next(
+                (j for j in start_index.get(k, []) if not used[j]), None
+            )
+            if nxt is None:
+                break
+            cur = nxt
+        if closed and len(chain) >= 3:
+            loops.append(np.asarray(chain))
+    return loops
+
+
+def loop_signed_area(vertices: np.ndarray) -> float:
+    """Signed spherical area of a vertex chain: fan of signed triangle
+    areas from vertex 0 (S2Loop.getAreaCentroid semantics,
+    S2Loop.php:258-319).  Positive = CCW (interior on the left)."""
+    from .cell import triangle_area
+
+    total = 0.0
+    v0 = vertices[0]
+    for k in range(1, len(vertices) - 1):
+        a, b = vertices[k], vertices[k + 1]
+        total += geom.robust_ccw(v0, a, b) * triangle_area(v0, a, b)
+    return total
+
+
+def _to_polygon(loops_xyz: list[np.ndarray]) -> PolygonRegion:
+    """Assemble + normalize: reverse any CW loop (S2Loop.normalize,
+    S2Loop.php:216-253) so every loop encloses its own region and the
+    polygon's odd-parity containment holds (holes become CCW loops
+    around the hole area, shells stay CCW)."""
+    loops = []
+    for v in loops_xyz:
+        if loop_signed_area(v) < 0.0:
+            v = v[::-1].copy()
+        loops.append(LoopRegion.from_xyz(v))
+    return PolygonRegion(loops)
+
+
+def polygon_intersection(a: PolygonRegion, b: PolygonRegion) -> PolygonRegion:
+    """A ∩ B (S2Polygon::initToIntersection semantics)."""
+    pieces = clip_boundary(a, b, True) + clip_boundary(b, a, True)
+    return _to_polygon(assemble_loops(pieces))
+
+
+def polygon_union(a: PolygonRegion, b: PolygonRegion) -> PolygonRegion:
+    """A ∪ B (S2Polygon::initToUnion semantics)."""
+    pieces = clip_boundary(a, b, False) + clip_boundary(b, a, False)
+    return _to_polygon(assemble_loops(pieces))
+
+
+def polygon_difference(a: PolygonRegion, b: PolygonRegion) -> PolygonRegion:
+    """A \\ B: A's boundary outside B plus B's boundary inside A
+    reversed (those pieces bound holes of the result)."""
+    pieces = clip_boundary(a, b, False) + clip_boundary(
+        b, a, True, reverse=True
+    )
+    return _to_polygon(assemble_loops(pieces))
+
+
+def polygon_to_spec(
+    region_id: int, poly: PolygonRegion
+) -> dict:
+    """Package a polygon as the FIXTURES region-spec dict consumed by
+    the distributed spatial join / coverer."""
+    params: list[float] = []
+    offsets: list[int] = []
+    for lp in poly.loops:
+        offsets.append(len(params) // 2)
+        lat, lng = geom.xyz_to_latlng(lp.vertices)
+        for la, ln in zip(np.degrees(lat), np.degrees(lng)):
+            params.extend([float(la), float(ln)])
+    return dict(
+        region_id=region_id, kind="polygon", params=params,
+        loop_offsets=offsets,
+    )

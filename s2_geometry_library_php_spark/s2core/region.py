@@ -116,9 +116,22 @@ class LoopRegion(Region):
     def __init__(self, vertices_latlng_deg: np.ndarray):
         """vertices: (M, 2) [lat, lng] degrees, CCW."""
         v = np.asarray(vertices_latlng_deg, dtype=np.float64)
-        self.vertices = geom.normalize(
-            geom.latlng_to_xyz(np.radians(v[:, 0]), np.radians(v[:, 1]))
+        self._init_from_xyz(
+            geom.normalize(
+                geom.latlng_to_xyz(np.radians(v[:, 0]), np.radians(v[:, 1]))
+            )
         )
+
+    @classmethod
+    def from_xyz(cls, vertices_xyz: np.ndarray) -> "LoopRegion":
+        """Build from exact unit vectors (polygon boolean-op output —
+        a degree round-trip would perturb chained crossing points)."""
+        self = cls.__new__(cls)
+        self._init_from_xyz(np.asarray(vertices_xyz, dtype=np.float64))
+        return self
+
+    def _init_from_xyz(self, vertices_xyz: np.ndarray) -> None:
+        self.vertices = vertices_xyz
         self.origin_inside = geom.loop_origin_inside(self.vertices)
         lat_lo, lat_hi, lng_lo, lng_hi = geom.chain_rect_bound(self.vertices)
         lat = R1Interval(lat_lo, lat_hi)
