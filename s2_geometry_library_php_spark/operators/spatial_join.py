@@ -324,25 +324,20 @@ def spatial_join(
     levels = sorted({lvl for _, _, lvl, _ in cov_rows})
     cov = spark.createDataFrame(cov_rows, COVERING_SCHEMA)
 
-    # Probe side: one prefix key per covering level present (a small
-    # array -> explode; stays narrow, no shuffle).
+    # Probe side: one prefix key per covering level present (a plain
+    # long-array explode; stays narrow, no shuffle).  A single equi-key
+    # suffices: a cell id's lowest set bit encodes its level
+    # (S2CellId.php:211-243), so s2_parent(leaf, L') = cov_cell already
+    # implies L' = cov_level — no second join key, no struct
+    # materialization through the exploded rows.
     prefix_cols = F.array(
-        *[
-            F.struct(
-                F.lit(lvl).alias("lvl"),
-                _parent_col(F.col(leaf_col), lvl).alias("prefix"),
-            )
-            for lvl in levels
-        ]
+        *[_parent_col(F.col(leaf_col), lvl) for lvl in levels]
     )
-    probe = docs.withColumn("_pfx", F.explode(prefix_cols)).select(
-        "*", F.col("_pfx.lvl").alias("_lvl"), F.col("_pfx.prefix").alias("_prefix")
-    ).drop("_pfx")
+    probe = docs.withColumn("_prefix", F.explode(prefix_cols))
 
     joined = probe.join(
-        F.broadcast(cov),
-        (F.col("_prefix") == F.col("cov_cell"))
-        & (F.col("_lvl") == F.col("cov_level")),
+        F.broadcast(cov.drop("cov_level")),
+        F.col("_prefix") == F.col("cov_cell"),
         "inner",
     )
 

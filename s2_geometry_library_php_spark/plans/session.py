@@ -17,6 +17,20 @@ def get_spark(
     master: str | None = None,
     shuffle_partitions: int | None = None,
 ) -> SparkSession:
+    # One BLAS/OpenMP thread per Python worker: Spark already runs one
+    # task per core, so letting numpy's BLAS spawn its own per-core
+    # pool inside EVERY worker oversubscribes cores^2 threads (the
+    # loop-containment and cosine kernels are matrix products).  Must
+    # be set before the workers fork; also exported to executors for
+    # cluster deployments.
+    for v in (
+        "OMP_NUM_THREADS",
+        "OPENBLAS_NUM_THREADS",
+        "MKL_NUM_THREADS",
+        "NUMEXPR_NUM_THREADS",
+        "VECLIB_MAXIMUM_THREADS",
+    ):
+        os.environ.setdefault(v, "1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     master = master or f"local[{cpus}]"
     shuffle_partitions = shuffle_partitions or max(cpus, 8)
@@ -34,6 +48,12 @@ def get_spark(
         # Broadcast the covering table even if stats are conservative.
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "24g"))
+        .config("spark.executorEnv.OMP_NUM_THREADS", "1")
+        .config("spark.executorEnv.OPENBLAS_NUM_THREADS", "1")
+        .config("spark.executorEnv.MKL_NUM_THREADS", "1")
+        # Local mode has no data locality to wait for; the default 3s
+        # locality wait only adds scheduling jitter.
+        .config("spark.locality.wait", "0s")
         .config("spark.ui.enabled", "false")
         # Many distinct generated WholeStageCodegen classes across a
         # query suite overflow the default 240MB JIT code cache, after

@@ -232,3 +232,89 @@ def contains_or_crosses(a: "LoopRegion", b: "LoopRegion") -> int:
     ):
         return 0
     return 1
+
+
+# --- polyline operators (S2Polyline.php:3-21 doc; body is commented Java) -----------
+def edge_closest_point(
+    x: np.ndarray, a: np.ndarray, b: np.ndarray
+) -> np.ndarray:
+    """Vectorized closest point on edge AB for points X (N,3)
+    (S2EdgeUtil.getClosestPoint, S2EdgeUtil.php:316-331): projection
+    onto the great circle when the foot lies in the wedge, else the
+    nearer endpoint."""
+    x = np.atleast_2d(x)
+    ab = geom.robust_cross_prod(a, b)
+    ab_unit = ab / np.linalg.norm(ab)
+    proj = x - np.outer(x @ ab_unit, ab_unit)
+    pn = np.linalg.norm(proj, axis=1)
+    # degenerate projections (x parallel to the edge normal) fall back
+    # to the endpoint branch via on_segment=False
+    safe = pn > 0
+    proj[safe] = proj[safe] / pn[safe, None]
+    on_segment = (
+        geom.simple_ccw_vec(ab, a, proj) & geom.simple_ccw_vec(proj, b, ab) & safe
+    )
+    a_closer = geom.norm2(x - a) <= geom.norm2(x - b)
+    endpoint = np.where(a_closer[:, None], a[None, :], b[None, :])
+    return np.where(on_segment[:, None], proj, endpoint)
+
+
+def polyline_length(vertices: np.ndarray) -> float:
+    """Total geodesic length (radians) of an open vertex chain."""
+    return float(
+        np.sum(geom.angle_between(vertices[:-1], vertices[1:]))
+    )
+
+
+def polyline_interpolate(vertices: np.ndarray, fraction: float) -> np.ndarray:
+    """Point at ``fraction`` of the polyline's length
+    (S2Polyline.interpolate semantics): walk cumulative edge lengths,
+    then spherical-linear interpolation inside the containing edge."""
+    if fraction <= 0.0:
+        return vertices[0]
+    if fraction >= 1.0:
+        return vertices[-1]
+    edge_len = geom.angle_between(vertices[:-1], vertices[1:])
+    target = fraction * float(np.sum(edge_len))
+    acc = 0.0
+    for k in range(len(edge_len)):
+        if acc + edge_len[k] >= target:
+            t = (target - acc) / edge_len[k] if edge_len[k] > 0 else 0.0
+            a, b = vertices[k], vertices[k + 1]
+            ang = float(edge_len[k])
+            # slerp: (sin((1-t)w)a + sin(tw)b) / sin(w)
+            sa = np.sin((1.0 - t) * ang)
+            sb = np.sin(t * ang)
+            p = sa * a + sb * b
+            return p / np.linalg.norm(p)
+        acc += float(edge_len[k])
+    return vertices[-1]
+
+
+def polyline_project(
+    x: np.ndarray, vertices: np.ndarray
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Project points X (N,3) onto the polyline: returns
+    (closest_points (N,3), distance_rad (N,), fraction (N,)) where
+    fraction is arc-length position of the projection in [0,1]
+    (S2Polyline.project / getDistanceFraction semantics,
+    S2EdgeUtil.php:257-262)."""
+    x = np.atleast_2d(x)
+    n = len(x)
+    best_d = np.full(n, np.inf)
+    best_p = np.zeros((n, 3))
+    best_edge = np.zeros(n, dtype=np.int64)
+    for k in range(len(vertices) - 1):
+        d = geom.edge_distance_radians(x, vertices[k], vertices[k + 1])
+        upd = d < best_d
+        if np.any(upd):
+            cp = edge_closest_point(x[upd], vertices[k], vertices[k + 1])
+            best_p[upd] = cp
+            best_d[upd] = d[upd]
+            best_edge[upd] = k
+    edge_len = geom.angle_between(vertices[:-1], vertices[1:])
+    cum = np.concatenate([[0.0], np.cumsum(edge_len)])
+    total = cum[-1] if cum[-1] > 0 else 1.0
+    along = geom.angle_between(vertices[best_edge], best_p)
+    fraction = (cum[best_edge] + along) / total
+    return best_p, best_d, np.clip(fraction, 0.0, 1.0)

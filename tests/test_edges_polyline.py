@@ -105,3 +105,37 @@ def test_polyline_proximity_join_matches_brute_force(spark, docs):
         for doc in pdf.doc_id.to_numpy()[best <= dist]:
             expected.add((int(doc), spec["line_id"]))
     assert got == expected
+
+
+def test_polyline_interpolate_project_roundtrip():
+    import numpy as np
+
+    from s2_geometry_library_php_spark.s2core import geom
+    from s2_geometry_library_php_spark.s2core.edges import (
+        polyline_interpolate,
+        polyline_project,
+    )
+
+    v = np.asarray([[48.5, 1.8], [48.9, 2.4], [49.3, 3.0]])
+    verts = geom.normalize(
+        geom.latlng_to_xyz(np.radians(v[:, 0]), np.radians(v[:, 1]))
+    )
+    for f in (0.0, 0.1, 0.25, 0.5, 0.9, 1.0):
+        p = polyline_interpolate(verts, f)
+        _cp, d, fr = polyline_project(p[None], verts)
+        assert d[0] < 1e-12
+        assert abs(fr[0] - f) < 1e-9
+    # projection distance == min per-edge distance; closest point
+    # achieves it
+    rng = np.random.default_rng(3)
+    pts = geom.latlng_to_xyz(
+        np.radians(rng.uniform(47, 50, 300)),
+        np.radians(rng.uniform(0.5, 4.5, 300)),
+    )
+    cp, d, _fr = polyline_project(pts, verts)
+    brute = np.minimum(
+        geom.edge_distance_radians(pts, verts[0], verts[1]),
+        geom.edge_distance_radians(pts, verts[1], verts[2]),
+    )
+    assert np.allclose(d, brute, atol=1e-15)
+    assert np.allclose(geom.angle_between(pts, cp), d, atol=1e-9)
