@@ -151,6 +151,62 @@ def salted_repartition(
     )
 
 
+def plan_salt_buckets(
+    docs: DataFrame,
+    level: int,
+    leaf_col: str = "cell_id",
+    rows_per_bucket: int = 1_000_000,
+    sample_fraction: float = 0.01,
+    seed: int = 7,
+) -> dict[int, int]:
+    """Sample the level-L tile histogram and derive per-prefix salt
+    bucket counts for hot tiles (SURVEY.md §4.2: salting decisions come
+    from measured skew, not assumptions).
+
+    Returns {prefix_cell_id: n_buckets} only for prefixes whose
+    estimated row count exceeds ``rows_per_bucket`` — everything else
+    keeps one bucket and costs nothing."""
+    import math
+
+    sampled = (
+        docs.sample(fraction=sample_fraction, seed=seed)
+        .groupBy(s2_parent(F.col(leaf_col), level).alias("_prefix"))
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .collect()
+    )
+    scale = 1.0 / sample_fraction
+    out: dict[int, int] = {}
+    for r in sampled:
+        est = r._n * scale
+        if est > rows_per_bucket:
+            out[int(r._prefix)] = int(math.ceil(est / rows_per_bucket))
+    return out
+
+
+def salted_repartition_planned(
+    docs: DataFrame,
+    level: int,
+    salt_plan: dict[int, int],
+    leaf_col: str = "cell_id",
+) -> DataFrame:
+    """Skew-defusing repartition with per-prefix salt counts from
+    :func:`plan_salt_buckets`: hot prefixes spread over their measured
+    bucket count, cold prefixes stay single-bucket (no extra shuffle
+    width wasted on the long tail)."""
+    prefix = s2_parent(F.col(leaf_col), level)
+    if salt_plan:
+        buckets = F.coalesce(
+            F.create_map(
+                *[F.lit(x) for kv in salt_plan.items() for x in kv]
+            )[prefix],
+            F.lit(1),
+        )
+    else:
+        buckets = F.lit(1)
+    salt = (F.pmod(F.xxhash64(F.col(leaf_col)), buckets)).cast("int")
+    return docs.repartition(prefix, salt)
+
+
 def collapse_full_sibling_tiles(
     tiles: DataFrame, level: int, tile_col: str = "tile_id"
 ) -> DataFrame:

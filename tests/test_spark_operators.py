@@ -252,3 +252,47 @@ def test_streaming_tiles_equals_batch(spark, docs):
         for r in tile_aggregate(docs, 8).select("tile_token", "doc_count").collect()
     }
     assert got == expected
+
+
+def test_planned_salting_targets_hot_tiles(spark, docs):
+    """20% of the synthetic corpus sits in 3 hot tiles (FIXTURES.md):
+    the sampled histogram must find them, and the planned repartition
+    must preserve aggregates exactly."""
+    from pyspark.sql import functions as F
+
+    from s2_geometry_library_php_spark.operators import tile_aggregate
+    from s2_geometry_library_php_spark.operators.tiling import (
+        plan_salt_buckets,
+        salted_repartition_planned,
+    )
+
+    plan = plan_salt_buckets(
+        docs, 6, rows_per_bucket=20, sample_fraction=0.5
+    )
+    assert len(plan) >= 3  # the three hot tiles at least
+    assert all(v >= 2 for v in plan.values())
+    before = {
+        (r.tile_token, r.doc_count)
+        for r in tile_aggregate(docs, 8).select("tile_token", "doc_count").collect()
+    }
+    salted = salted_repartition_planned(docs, 6, plan)
+    after = {
+        (r.tile_token, r.doc_count)
+        for r in tile_aggregate(salted, 8).select("tile_token", "doc_count").collect()
+    }
+    assert before == after
+    # hot prefixes actually get >1 distinct salt key (physical
+    # partition count is AQE-coalesced at this tiny scale, so assert
+    # on the shuffle KEY diversity the plan creates)
+    from s2_geometry_library_php_spark.functions.sql_bitops import s2_parent
+
+    hot = max(plan, key=plan.get)
+    n_salts = (
+        docs.where(s2_parent(F.col("cell_id"), 6) == hot)
+        .select(
+            F.pmod(F.xxhash64(F.col("cell_id")), F.lit(plan[hot])).alias("s")
+        )
+        .distinct()
+        .count()
+    )
+    assert n_salts >= 2
