@@ -87,6 +87,50 @@ def auto_start_level(n_docs: int, k: int) -> int:
     return max(0, min(18, level))
 
 
+def ring_round_topk(
+    remaining: DataFrame,
+    docs: DataFrame,
+    k: int,
+    level: int,
+    probe_id: str = "probe_id",
+    doc_id: str = "doc_id",
+    leaf_col: str = "cell_id",
+) -> DataFrame:
+    """One ring-expansion round: each probe's 3x3 cell neighborhood at
+    ``level`` equi-joined (broadcast, no doc shuffle) against the docs'
+    level-L prefix, exact re-rank, window top-k.  ``remaining`` needs
+    (_plat, _plon, _pleaf) columns (see knn_join)."""
+    from ..functions.udfs import s2_all_neighbors_udf
+
+    ring = remaining.withColumn(
+        "_center", s2_parent(F.col("_pleaf"), level)
+    ).withColumn(
+        "_cand_cell",
+        F.explode(
+            F.array_union(
+                F.array(F.col("_center")),
+                s2_all_neighbors_udf(F.col("_center")),
+            )
+        ),
+    )
+    cand = F.broadcast(ring).join(
+        docs.withColumn("_dcell", s2_parent(F.col(leaf_col), level)),
+        F.col("_cand_cell") == F.col("_dcell"),
+        "inner",
+    )
+    dist = _exact_distance(
+        F.col("_plat"), F.col("_plon"), F.col("lat"), F.col("lon")
+    ).alias("dist_rad")
+    w = Window.partitionBy(probe_id).orderBy(
+        F.col("dist_rad").asc(), F.col(doc_id).asc()
+    )
+    return (
+        cand.select(probe_id, doc_id, dist)
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )
+
+
 def knn_join(
     spark: SparkSession,
     probes: DataFrame,
@@ -108,8 +152,6 @@ def knn_join(
     the per-round plan does not grow; the big ``docs`` side is only
     ever hash-probed, never shuffled.
     """
-    from ..functions.udfs import s2_all_neighbors_udf
-
     if start_level is None:
         start_level = auto_start_level(docs.count(), k)
 
@@ -130,32 +172,11 @@ def knn_join(
     for _ in range(max_rounds):
         if level < 0 or remaining.isEmpty():
             break
-        ring = remaining.withColumn(
-            "_center", s2_parent(F.col("_pleaf"), level)
-        ).withColumn(
-            "_cand_cell",
-            F.explode(
-                F.array_union(
-                    F.array(F.col("_center")),
-                    s2_all_neighbors_udf(F.col("_center")),
-                )
-            ),
-        )
-        cand = F.broadcast(ring).join(
-            docs.withColumn("_dcell", s2_parent(F.col(leaf_col), level)),
-            F.col("_cand_cell") == F.col("_dcell"),
-            "inner",
-        )
-        dist = _exact_distance(
-            F.col("_plat"), F.col("_plon"), F.col("lat"), F.col("lon")
-        ).alias("dist_rad")
-        w = Window.partitionBy(probe_id).orderBy(
-            F.col("dist_rad").asc(), F.col(doc_id).asc()
-        )
         topk = _cache(
-            cand.select(probe_id, doc_id, dist)
-            .withColumn("rank", F.row_number().over(w))
-            .where(F.col("rank") <= k)
+            ring_round_topk(
+                remaining, docs, k, level,
+                probe_id=probe_id, doc_id=doc_id, leaf_col=leaf_col,
+            )
         )
         # Exactness: k candidates found AND kth distance < MIN_WIDTH(L).
         guarantee = float(MIN_WIDTH.get_value(level))

@@ -92,6 +92,13 @@ def tile_rollup(
         F.col(tile_col).alias("tile_id"),
         F.col(count_col).alias("doc_count"),
     )
+    # Materialize the finest level once (lazy local checkpoint): the
+    # union output otherwise embeds the full upstream chain (scan +
+    # encode + aggregation) into EVERY level's branch — verified via
+    # .explain, the static plan showed 3 copies of the scan subtree.
+    # The finest tiling is small (one row per occupied tile), so the
+    # checkpoint is cheap and every coarser level re-aggregates it.
+    current = current.localCheckpoint(eager=False)
     pieces = [current.withColumn("tile_token", s2_token_sql("tile_id"))]
     prev = current
     for lvl in sorted(to_levels, reverse=True):
