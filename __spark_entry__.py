@@ -696,6 +696,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "doc_id", "line_id", "dist_rad", "fraction", "proj_lat", "proj_lon"
         )
 
+    def q_spatial_join_distributed(spark, sf):
+        """Fully-distributed region path: coverings computed in
+        executors (mapInPandas over the region table), refine from
+        per-row geometry — for region sets beyond driver memory.
+        Same independent brute-force oracle as spatial_join."""
+        from s2_geometry_library_php_spark.operators.spatial_join import (
+            regions_to_df,
+            spatial_join_region_table,
+        )
+
+        docs = _docs(spark, sf).select("doc_id", "lat", "lon", "cell_id")
+        return spatial_join_region_table(
+            spark, docs, regions_to_df(spark, region_fixtures())
+        ).select("doc_id", "region_id")
+
     def q_polygon_booleans(spark, sf):
         """Docs joined against polygon boolean-op results (A∩B, A∪B,
         A\\B clipped on the driver, then the standard covering join +
@@ -744,6 +759,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_tiles": q_streaming_tiles,
         "polygon_booleans": q_polygon_booleans,
         "polyline_project": q_polyline_project,
+        "spatial_join_distributed": q_spatial_join_distributed,
     }
 
 
@@ -818,6 +834,8 @@ def _kernel_oracles() -> dict[str, str]:
     _ORACLE_CACHE["spatial_join"] = _values_sql(
         rows, [("doc_id", "BIGINT"), ("region_id", "BIGINT")]
     )
+    # the distributed-region path must produce the identical rows
+    _ORACLE_CACHE["spatial_join_distributed"] = _ORACLE_CACHE["spatial_join"]
 
     # covering tokens (kernel-backed golden of the coverer itself)
     from s2_geometry_library_php_spark.operators.spatial_join import (

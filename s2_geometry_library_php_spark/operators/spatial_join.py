@@ -408,3 +408,164 @@ def _parent_col(cell_id, level: int):
     lsb = 1 << (2 * (cid.MAX_LEVEL - level))
     neg = _sig(-lsb & 0xFFFFFFFFFFFFFFFF)
     return cell_id.bitwiseAND(F.lit(neg)).bitwiseOR(F.lit(lsb))
+
+
+# --- distributed region path (large region sets, SURVEY.md §3.2) ---------------
+REGION_TABLE_SCHEMA = (
+    "region_id long, kind string, params array<double>, "
+    "loop_offsets array<int>"
+)
+
+
+def regions_to_df(spark: SparkSession, regions: list[dict]) -> DataFrame:
+    rows = [
+        (
+            int(r["region_id"]),
+            r["kind"],
+            [float(x) for x in r["params"]],
+            [int(x) for x in r["loop_offsets"]]
+            if r.get("loop_offsets") is not None
+            else None,
+        )
+        for r in regions
+    ]
+    return spark.createDataFrame(rows, REGION_TABLE_SCHEMA)
+
+
+def build_covering_table_distributed(
+    regions_df: DataFrame,
+    max_cells: int = 8,
+    min_level: int = JOIN_LEVEL_GRID[0],
+    max_level: int = JOIN_LEVEL_GRID[-1],
+    level_mod: int = 3,
+) -> DataFrame:
+    """Distributed twin of :func:`build_covering_table`: the coverer
+    kernel runs INSIDE executors via mapInPandas over the region
+    dimension table, so a region set of any size (the driver-side path
+    assumes O(10^2..10^6) regions fit on the driver) covers in
+    parallel.  Output schema matches COVERING_SCHEMA."""
+
+    def gen(batches):
+        from ..s2core.cell import Cell
+
+        for pdf in batches:
+            out = {
+                "region_id": [], "cov_cell": [], "cov_level": [],
+                "is_interior": [],
+            }
+            for row in pdf.itertuples(index=False):
+                offsets = (
+                    None if row.loop_offsets is None
+                    else [int(x) for x in row.loop_offsets]
+                )
+                region = region_from_params(
+                    row.kind, [float(x) for x in row.params], offsets
+                )
+                exterior = RegionCoverer(
+                    min_level=min_level,
+                    max_level=max_level,
+                    level_mod=level_mod,
+                    max_cells=max_cells,
+                ).get_covering(region)
+                for c in exterior:
+                    out["region_id"].append(int(row.region_id))
+                    out["cov_cell"].append(_sig(c))
+                    out["cov_level"].append(_lvl(c))
+                    out["is_interior"].append(
+                        bool(region.contains_cell(Cell(c)))
+                    )
+            yield pd.DataFrame(out)
+
+    return regions_df.mapInPandas(gen, COVERING_SCHEMA)
+
+
+def _refine_udf_from_table():
+    """Refine kernel for the distributed-region path: region geometry
+    arrives per-row (joined from the region table) instead of via a
+    driver closure, so the region set size is unbounded.  Regions are
+    rebuilt once per (batch, region_id) group and memoized per worker."""
+    cache: dict[int, Region] = {}
+
+    @F.pandas_udf(BooleanType())
+    def refine(
+        lat: pd.Series,
+        lon: pd.Series,
+        region_id: pd.Series,
+        is_interior: pd.Series,
+        kind: pd.Series,
+        params: pd.Series,
+        loop_offsets: pd.Series,
+    ) -> pd.Series:
+        from ..s2core import geom
+
+        n = len(lat)
+        out = np.zeros(n, dtype=bool)
+        if n == 0:
+            return pd.Series(out)
+        interior = is_interior.to_numpy(bool)
+        out[interior] = True
+        todo = ~interior
+        if not np.any(todo):
+            return pd.Series(out)
+        rid_arr = region_id.to_numpy(np.int64)
+        pts = geom.latlng_to_xyz(
+            np.radians(lat.to_numpy(np.float64)),
+            np.radians(lon.to_numpy(np.float64)),
+        )
+        for rid in np.unique(rid_arr[todo]):
+            mask = todo & (rid_arr == rid)
+            if int(rid) not in cache:
+                i = int(np.argmax(mask))
+                offs = loop_offsets.iloc[i]
+                cache[int(rid)] = region_from_params(
+                    kind.iloc[i],
+                    [float(x) for x in params.iloc[i]],
+                    None if offs is None else [int(x) for x in offs],
+                )
+            out[mask] = cache[int(rid)].contains_points(pts[mask])
+        return pd.Series(out)
+
+    return refine
+
+
+def spatial_join_region_table(
+    spark: SparkSession,
+    docs: DataFrame,
+    regions_df: DataFrame,
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+    leaf_col: str = "cell_id",
+    max_cells: int = 8,
+    broadcast_covering: bool = True,
+) -> DataFrame:
+    """Fully-distributed point-in-region join over a region DIMENSION
+    TABLE (schema REGION_TABLE_SCHEMA): coverings computed in
+    executors, candidate equi-join on banded prefixes, refine with
+    per-row region geometry.  With ``broadcast_covering`` the covering
+    and region tables are broadcast (the common case); otherwise both
+    joins fall back to shuffle joins and the path scales to region
+    sets far beyond driver memory."""
+    cov = build_covering_table_distributed(regions_df, max_cells=max_cells)
+    prefix_cols = F.array(
+        *[_parent_col(F.col(leaf_col), lvl) for lvl in JOIN_LEVEL_GRID]
+    )
+    probe = docs.withColumn("_prefix", F.explode(prefix_cols))
+    cov_side = cov.drop("cov_level")
+    if broadcast_covering:
+        cov_side = F.broadcast(cov_side)
+    joined = probe.join(
+        cov_side, F.col("_prefix") == F.col("cov_cell"), "inner"
+    )
+    reg_side = regions_df
+    if broadcast_covering:
+        reg_side = F.broadcast(reg_side)
+    joined = joined.join(reg_side, "region_id", "inner")
+    refine = _refine_udf_from_table()
+    out_cols = [*docs.columns, "region_id"]
+    return joined.where(
+        refine(
+            F.col(lat_col), F.col(lon_col), F.col("region_id"),
+            F.col("is_interior"), F.col("kind"), F.col("params"),
+            F.col("loop_offsets"),
+        )
+    ).select(*out_cols)

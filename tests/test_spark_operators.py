@@ -296,3 +296,34 @@ def test_planned_salting_targets_hot_tiles(spark, docs):
         .count()
     )
     assert n_salts >= 2
+
+
+def test_spatial_join_region_table_matches_driver_path(spark, docs):
+    """The fully-distributed region path (coverings via mapInPandas,
+    refine from per-row geometry) must reproduce the driver-side join
+    exactly — both broadcast and shuffle-join variants."""
+    from s2_geometry_library_php_spark.operators.spatial_join import (
+        regions_to_df,
+        spatial_join,
+        spatial_join_region_table,
+    )
+    from s2_geometry_library_php_spark.sources import region_fixtures
+
+    d = docs.select("doc_id", "lat", "lon", "cell_id")
+    expected = {
+        (r.doc_id, r.region_id)
+        for r in spatial_join(spark, d, region_fixtures())
+        .select("doc_id", "region_id")
+        .collect()
+    }
+    regions_df = regions_to_df(spark, region_fixtures())
+    for bc in (True, False):
+        got = {
+            (r.doc_id, r.region_id)
+            for r in spatial_join_region_table(
+                spark, d, regions_df, broadcast_covering=bc
+            )
+            .select("doc_id", "region_id")
+            .collect()
+        }
+        assert got == expected, f"broadcast_covering={bc}"
