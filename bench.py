@@ -49,14 +49,21 @@ def _run_suite(spark, sf_dir: str) -> tuple[dict, dict]:
 
     def timed(name: str, fn):
         # Warm-up run first (python-worker spawn, codegen JIT, GC
-        # ramp all land here), then time the steady-state run — the
-        # number that projects to a long-running cluster job.
+        # ramp all land here), then the MIN of two steady-state runs —
+        # the sandbox host has bursty external interference (see
+        # BASELINE.md host characterization), and min over repeats is
+        # the noise-free estimator of the cost that projects to a
+        # long-running cluster job.
         t0 = time.time()
         fn()
         cold[name] = round(time.time() - t0, 3)
-        t0 = time.time()
-        out = fn()
-        timings[name] = round(time.time() - t0, 3)
+        best = None
+        for _ in range(2):
+            t0 = time.time()
+            out = fn()
+            el = time.time() - t0
+            best = el if best is None or el < best else best
+        timings[name] = round(best, 3)
         return out
 
     # The sf0.1 corpus is only ~5k documents — far too small to
