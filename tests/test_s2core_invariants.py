@@ -246,3 +246,43 @@ def test_robust_ccw_antisymmetry():
         s1 = geom.robust_ccw(a, b, c)
         assert geom.robust_ccw(c, b, a) == -s1
         assert geom.robust_ccw(b, c, a) == s1
+
+
+def test_simple_covering_flood_fill():
+    """Fixed-level flood fill (S2RegionCoverer.php:478-503): output
+    must be exactly the set of level-L cells that may intersect the
+    region, and must cover every interior sample point."""
+    import numpy as np
+
+    from s2_geometry_library_php_spark.s2core import cellid as cid
+    from s2_geometry_library_php_spark.s2core import geom
+    from s2_geometry_library_php_spark.s2core.cell import Cell
+    from s2_geometry_library_php_spark.s2core.coverer import simple_covering
+    from s2_geometry_library_php_spark.s2core.region import CapRegion
+
+    level = 10
+    cap = CapRegion(48.85, 2.35, 0.01)
+    axis_leaf = int(
+        cid.cell_id_from_latlng_degrees(
+            np.array([48.85]), np.array([2.35])
+        )[0]
+    )
+    start = int(cid.parent(np.array([axis_leaf], dtype=np.uint64), level)[0])
+    cov = simple_covering(cap, start, level)
+    cov_set = set(cov)
+    # soundness: every cell may intersect; neighbors outside the set
+    # must NOT intersect (the fill reached a fixpoint)
+    for c in cov:
+        assert cap.may_intersect_cell(Cell(c))
+        for nb in cid.edge_neighbors(np.array([c], dtype=np.uint64))[0]:
+            if int(nb) not in cov_set:
+                assert not cap.may_intersect_cell(Cell(int(nb)))
+    # completeness: the level-L cell of every interior sample is present
+    rng = np.random.default_rng(11)
+    lat = rng.uniform(48.3, 49.4, 4000)
+    lng = rng.uniform(1.5, 3.2, 4000)
+    pts = geom.latlng_to_xyz(np.radians(lat), np.radians(lng))
+    inside = cap.contains_points(pts)
+    leaves = cid.cell_id_from_latlng_degrees(lat[inside], lng[inside])
+    parents = cid.parent(leaves, level)
+    assert {int(p) for p in parents} <= cov_set
