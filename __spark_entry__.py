@@ -23,11 +23,27 @@ driver's documented correctness scale).
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 import numpy as np
-from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql import functions as F
+
+# Make the engine importable by executor Python workers regardless of
+# the driver's cwd: workers inherit PYTHONPATH from the JVM's
+# environment (set here BEFORE any SparkSession exists), not the
+# driver's sys.path.  On a real cluster the equivalent is
+# `spark-submit --py-files s2_geometry_library_php_spark.zip`.
+_REPO_ROOT = os.path.dirname(os.path.abspath(__file__))
+if _REPO_ROOT not in sys.path:
+    sys.path.insert(0, _REPO_ROOT)
+if _REPO_ROOT not in os.environ.get("PYTHONPATH", "").split(os.pathsep):
+    os.environ["PYTHONPATH"] = (
+        _REPO_ROOT + os.pathsep + os.environ.get("PYTHONPATH", "")
+    )
+
+from pyspark.sql import DataFrame, SparkSession  # noqa: E402
+from pyspark.sql import functions as F  # noqa: E402
 
 SF001 = "/root/testdata/sf0.001"
 SF01 = "/root/testdata/sf0.01"

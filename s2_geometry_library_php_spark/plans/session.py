@@ -31,6 +31,16 @@ def get_spark(
         "VECLIB_MAXIMUM_THREADS",
     ):
         os.environ.setdefault(v, "1")
+    # Executor python workers import the engine via PYTHONPATH (they
+    # do not see the driver's sys.path); cluster deployments ship the
+    # package with spark-submit --py-files instead.
+    pkg_root = os.path.dirname(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
+    if pkg_root not in os.environ.get("PYTHONPATH", "").split(os.pathsep):
+        os.environ["PYTHONPATH"] = (
+            pkg_root + os.pathsep + os.environ.get("PYTHONPATH", "")
+        )
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     master = master or f"local[{cpus}]"
     shuffle_partitions = shuffle_partitions or max(cpus, 8)
