@@ -712,6 +712,43 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "doc_id", "line_id", "dist_rad", "fraction", "proj_lat", "proj_lon"
         )
 
+    def q_stateful_running_tiles(spark, sf):
+        """Custom stateful streaming operator (applyInPandasWithState):
+        running per-tile counts; after a full availableNow pass the
+        state-backed totals must equal the batch tiling (same oracle
+        as tile_counts_l8)."""
+        from s2_geometry_library_php_spark.sources.documents import (
+            stream_documents,
+        )
+        from s2_geometry_library_php_spark.streaming import (
+            tile_running_stats,
+        )
+
+        out = tile_running_stats(
+            stream_documents(spark, sf), tile_level=TILE_LEVEL
+        )
+        name = "stateful_tiles_out"
+        import tempfile
+        import uuid
+
+        ckpt = f"{tempfile.gettempdir()}/s2ckpt_{uuid.uuid4().hex[:8]}"
+        q = (
+            out.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        q.awaitTermination()
+        # update-mode sink may hold one row per (batch, tile); counts
+        # are monotone so the max is the final state
+        return (
+            spark.table(name)
+            .groupBy("tile_token")
+            .agg(F.max("doc_count").alias("doc_count"))
+        )
+
     def q_spatial_join_distributed(spark, sf):
         """Fully-distributed region path: coverings computed in
         executors (mapInPandas over the region table), refine from
@@ -776,6 +813,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "polygon_booleans": q_polygon_booleans,
         "polyline_project": q_polyline_project,
         "spatial_join_distributed": q_spatial_join_distributed,
+        "stateful_running_tiles": q_stateful_running_tiles,
     }
 
 
@@ -971,6 +1009,8 @@ def _kernel_oracles() -> dict[str, str]:
 
     # streaming tiles must equal the batch tiling exactly
     _ORACLE_CACHE["streaming_tiles"] = _ORACLE_CACHE["tile_counts_l8"]
+    # ...and so must the stateful running-tiles operator's final state
+    _ORACLE_CACHE["stateful_running_tiles"] = _ORACLE_CACHE["tile_counts_l8"]
 
     # cell-set difference vs the driver kernel
     from s2_geometry_library_php_spark.operators.spatial_join import (

@@ -1,1 +1,2 @@
 from .incremental_tiles import incremental_tile_stream  # noqa: F401
+from .stateful import tile_running_stats  # noqa: F401

@@ -327,3 +327,65 @@ def test_spatial_join_region_table_matches_driver_path(spark, docs):
             .collect()
         }
         assert got == expected, f"broadcast_covering={bc}"
+
+
+def test_stateful_running_tiles_across_microbatches(spark, docs, tmp_path):
+    """applyInPandasWithState running per-tile stats: stream the corpus
+    as TWO micro-batches (maxFilesPerTrigger=1 over two files); the
+    final state-backed totals must equal the batch aggregation, proving
+    state survives across batches."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from s2_geometry_library_php_spark.operators import tile_aggregate
+    from s2_geometry_library_php_spark.sources.documents import (
+        derive_corpus_columns,
+    )
+    from s2_geometry_library_php_spark.streaming.stateful import (
+        tile_running_stats,
+    )
+
+    src = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    half_a = src.where(F.col("doc_id") % 2 == 0)
+    half_b = src.where(F.col("doc_id") % 2 == 1)
+    stage = str(tmp_path / "stream_src")
+    half_a.coalesce(1).write.parquet(stage)
+    half_b.coalesce(1).write.mode("append").parquet(stage)
+
+    stream = derive_corpus_columns(
+        spark.readStream.schema(src.schema)
+        .option("maxFilesPerTrigger", "1")
+        .format("parquet")
+        .load(stage)
+    )
+    q = (
+        tile_running_stats(stream, tile_level=8)
+        .writeStream.format("memory")
+        .queryName("t_running_tiles")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.awaitTermination()
+    assert q.lastProgress["batchId"] >= 1  # really ran >1 micro-batch
+    # update mode: latest row per tile wins
+    upd = spark.table("t_running_tiles").toPandas()
+    latest = upd.groupby("tile_token").last()
+    got = {
+        (tok, int(r.doc_count)) for tok, r in latest.iterrows()
+    }
+    expected = {
+        (r.tile_token, r.doc_count)
+        for r in tile_aggregate(docs, 8).select("tile_token", "doc_count").collect()
+    }
+    assert got == expected
+    # centroids match the batch path too (linear merge across batches)
+    batch = {
+        r.tile_token: (r.centroid_lat, r.centroid_lon)
+        for r in tile_aggregate(docs, 8).collect()
+    }
+    for tok, r in latest.iterrows():
+        blat, blon = batch[tok]
+        assert abs(r.centroid_lat - blat) < 1e-9
+        assert abs(r.centroid_lon - blon) < 1e-9
