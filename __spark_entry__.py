@@ -572,9 +572,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return out.select("doc_id", "line_id")
 
     def q_cell_neighbors(spark, sf):
+        from s2_geometry_library_php_spark.functions import s2_level
         from s2_geometry_library_php_spark.functions.udfs import (
             s2_all_neighbors_udf,
             s2_edge_neighbors_udf,
+            s2_vertex_neighbors_udf,
         )
 
         a_df, _ = _union_fixture_frames(spark)
@@ -588,7 +590,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.lit("all").alias("kind"),
             F.explode(s2_all_neighbors_udf(F.col("cell_id"))).alias("nbr"),
         )
-        return edge.unionByName(ring).select(
+        vert = a_df.select(
+            "cell_id",
+            F.lit("vertex").alias("kind"),
+            F.explode(
+                s2_vertex_neighbors_udf(
+                    F.col("cell_id"),
+                    s2_level(F.col("cell_id")) - F.lit(1),
+                )
+            ).alias("nbr"),
+        )
+        return edge.unionByName(ring).unionByName(vert).select(
             s2_token_sql("cell_id").alias("token"),
             "kind",
             s2_token_sql("nbr").alias("neighbor_token"),
@@ -1081,11 +1093,15 @@ def _kernel_oracles() -> dict[str, str]:
     rows = []
     edge_n = cid.edge_neighbors(a_arr)
     all_n = cid.all_neighbors(a_arr)
+    a_levels = cid.level_of(a_arr)
     for i in range(len(a_arr)):
         for t in cid.token_from_id(edge_n[i]):
             rows.append((a_tok[i], "edge", t))
         for t in cid.token_from_id(np.unique(all_n[i])):
             rows.append((a_tok[i], "all", t))
+        vn = cid.vertex_neighbors(int(a_arr[i]), int(a_levels[i]) - 1)
+        for t in cid.token_from_id(np.asarray(vn, dtype=np.uint64)):
+            rows.append((a_tok[i], "vertex", t))
     _ORACLE_CACHE["cell_neighbors"] = _values_sql(
         rows,
         [("token", "VARCHAR"), ("kind", "VARCHAR"), ("neighbor_token", "VARCHAR")],

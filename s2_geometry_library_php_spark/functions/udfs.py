@@ -105,3 +105,20 @@ def s2_distance_rad(
         np.radians(lat2.to_numpy(np.float64)), np.radians(lng2.to_numpy(np.float64))
     )
     return pd.Series(geom.angle_between(p1, p2))
+
+
+@F.pandas_udf(ArrayType(LongType()))
+def s2_vertex_neighbors_udf(cell_id: pd.Series, level: pd.Series) -> pd.Series:
+    """3-4 neighbors at ``level`` sharing the cell's closest vertex
+    (S2CellId.php:601-639).  Scalar kernel per row — used on small
+    cell tables (coverer seeding, neighborhood inspection), not on
+    corpus-sized inputs."""
+    ids = cid.from_signed(cell_id.to_numpy(np.int64))
+    lv = level.to_numpy(np.int64)
+    if len(ids) == 0:
+        return pd.Series([], dtype=object)
+    out = []
+    for k in range(len(ids)):
+        nbrs = cid.vertex_neighbors(int(ids[k]), int(lv[k]))
+        out.append([int(cid.to_signed(np.asarray([n], np.uint64))[0]) for n in nbrs])
+    return pd.Series(out)
