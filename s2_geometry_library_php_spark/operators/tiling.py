@@ -251,3 +251,43 @@ def hilbert_sorted_writer(df: DataFrame, leaf_col: str = "cell_id"):
     from ..functions.sql_bitops import s2_unsigned_order
 
     return df.sortWithinPartitions(s2_unsigned_order(F.col(leaf_col)))
+
+
+def write_tile_partitioned(
+    df: DataFrame,
+    path: str,
+    partition_level: int = 4,
+    leaf_col: str = "cell_id",
+) -> None:
+    """Persist a corpus partitioned by its level-L tile token and
+    Hilbert-sorted inside each partition — the Iceberg-style layout
+    where a tile-scoped query prunes to its directory at PLAN time
+    (Catalyst PartitionFilters) and clusters reads within files.
+
+    Readers filter on ``tile_pfx`` (= s2_token of the level-L parent);
+    :func:`read_tile_partition` builds that filter from any cell id."""
+    out = df.withColumn(
+        "tile_pfx", s2_token_sql(sql_s2_parent(leaf_col, partition_level))
+    )
+    hilbert_sorted_writer(out, leaf_col).write.partitionBy(
+        "tile_pfx"
+    ).mode("overwrite").parquet(path)
+
+
+def read_tile_partition(
+    spark, path: str, cell_id: int, partition_level: int = 4
+) -> DataFrame:
+    """Read back exactly the partition holding ``cell_id``'s level-L
+    tile — the partition-pruned access path (the filter lands in the
+    scan's PartitionFilters, so only one directory is listed/read)."""
+    import numpy as np
+
+    from ..s2core import cellid as cid
+
+    tok = cid.token_from_id(
+        cid.parent(
+            cid.from_signed(np.asarray([cell_id], dtype=np.int64)),
+            partition_level,
+        )
+    )[0]
+    return spark.read.parquet(path).where(F.col("tile_pfx") == tok)

@@ -389,3 +389,39 @@ def test_stateful_running_tiles_across_microbatches(spark, docs, tmp_path):
         blat, blon = batch[tok]
         assert abs(r.centroid_lat - blat) < 1e-9
         assert abs(r.centroid_lon - blon) < 1e-9
+
+
+def test_tile_partitioned_write_prunes_partitions(spark, docs, tmp_path):
+    """write_tile_partitioned + read_tile_partition: the tile filter
+    must land in the scan's PartitionFilters (plan-time directory
+    pruning), and the partition's content must equal the batch filter."""
+    import io
+    from contextlib import redirect_stdout
+
+    from pyspark.sql import functions as F
+
+    from s2_geometry_library_php_spark.functions.sql_bitops import s2_parent
+    from s2_geometry_library_php_spark.operators.tiling import (
+        read_tile_partition,
+        write_tile_partitioned,
+    )
+
+    path = str(tmp_path / "tiled")
+    write_tile_partitioned(docs, path, partition_level=2)
+    some = docs.select("cell_id").first().cell_id
+    got = read_tile_partition(spark, path, int(some), partition_level=2)
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        got.explain(True)
+    plan = buf.getvalue()
+    assert "PartitionFilters" in plan and "tile_pfx" in plan
+    expected = {
+        r.doc_id
+        for r in docs.where(
+            s2_parent(F.col("cell_id"), 2)
+            == s2_parent(F.lit(int(some)).cast("long"), 2)
+        )
+        .select("doc_id")
+        .collect()
+    }
+    assert {r.doc_id for r in got.select("doc_id").collect()} == expected
