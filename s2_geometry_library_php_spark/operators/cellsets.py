@@ -183,7 +183,15 @@ def cells_difference(
     B cells) -> split into its 4 children and retry.  Depth is bounded
     by max level present in B, and the frontier shrinks geometrically;
     result is re-normalized (sibling collapse) like the reference's
-    ``Init``-on-result."""
+    ``Init``-on-result.
+
+    Scale contract: **B must be broadcast-sized** (a normalized
+    covering — thousands of cells, not a data-driven tiling).  The
+    range-overlap predicate makes each round a
+    BroadcastNestedLoopJoin, O(|frontier| x |B|); A may be arbitrarily
+    large (it streams).  For a large B, first coarsen B to an
+    equi-joinable ancestor key (parent at B's min level) and hash-join
+    on that before the range refine."""
     br = _with_ranges(b.select(cell_col), cell_col).select(
         F.col("_ord").alias("_b_lo"), F.col("_ord_max").alias("_b_hi")
     )

@@ -87,6 +87,24 @@ def auto_start_level(n_docs: int, k: int) -> int:
     return max(0, min(18, level))
 
 
+def _estimate_count(docs: DataFrame, max_partitions: int = 8) -> int:
+    """Approximate row count from a bounded number of partitions —
+    O(sample) work instead of a full scan, good to the factor-of-2
+    accuracy auto_start_level needs.  Runs one small job over at most
+    ``max_partitions`` input partitions and extrapolates linearly."""
+    rdd = docs.rdd
+    n_parts = rdd.getNumPartitions()
+    if n_parts <= max_partitions:
+        return docs.count()
+    sampled = rdd.context.runJob(
+        rdd,
+        lambda it: [sum(1 for _ in it)],
+        partitions=list(range(max_partitions)),
+    )
+    per_part = sum(sampled) / max(len(sampled), 1)
+    return max(1, int(per_part * n_parts))
+
+
 def ring_round_topk(
     remaining: DataFrame,
     docs: DataFrame,
@@ -141,6 +159,7 @@ def knn_join(
     doc_id: str = "doc_id",
     leaf_col: str = "cell_id",
     max_rounds: int = 3,
+    n_docs_hint: int | None = None,
 ) -> DataFrame:
     """Scalable kNN: equi-join docs' level-L prefix against each
     probe's 3x3 ring, exact re-rank, provable-exactness check, coarser
@@ -153,7 +172,13 @@ def knn_join(
     ever hash-probed, never shuffled.
     """
     if start_level is None:
-        start_level = auto_start_level(docs.count(), k)
+        # auto_start_level only needs the ORDER OF MAGNITUDE of the
+        # corpus size (it feeds a log2), so any cheap estimate serves:
+        # pass n_docs_hint (e.g. from table stats / a prior count) to
+        # avoid any driver action; otherwise estimate from a bounded
+        # sample of partitions rather than a full-corpus count().
+        n = n_docs_hint if n_docs_hint is not None else _estimate_count(docs)
+        start_level = auto_start_level(n, k)
 
     cached_frames: list[DataFrame] = []
 

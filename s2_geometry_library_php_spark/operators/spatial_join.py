@@ -268,7 +268,10 @@ def bbox_prefilter_expr(regions: list[dict], lat_col: str, lon_col: str):
     broadcast join.  Probes outside every region's lat/lng bound skip
     the join entirely, cutting the exploded-row volume by the bbox
     selectivity.  Conservative: bounds widened by 1e-9 degrees against
-    radian->degree rounding."""
+    radian->degree rounding.  The longitude compare mirrors the refine
+    kernel's lng==-pi -> +pi remap (a doc at exactly lon=-180 must not
+    be dropped by the prefilter when a region's interval ends at
+    +180)."""
     import math
 
     eps = 1e-9
@@ -286,15 +289,18 @@ def bbox_prefilter_expr(regions: list[dict], lat_col: str, lon_col: str):
         if not bound.lng.is_full():
             lng_lo = math.degrees(bound.lng.lo) - eps
             lng_hi = math.degrees(bound.lng.hi) + eps
+            # normalize -180 to +180 before comparing, matching the
+            # refine kernel's atan2-based longitude (never returns -pi
+            # for points remapped to +pi by the S1Interval convention)
+            lon_n = F.when(
+                F.col(lon_col) == F.lit(-180.0), F.lit(180.0)
+            ).otherwise(F.col(lon_col))
             if bound.lng.is_inverted():
                 t = t & (
-                    (F.col(lon_col) >= F.lit(lng_lo))
-                    | (F.col(lon_col) <= F.lit(lng_hi))
+                    (lon_n >= F.lit(lng_lo)) | (lon_n <= F.lit(lng_hi))
                 )
             else:
-                t = t & (F.col(lon_col) >= F.lit(lng_lo)) & (
-                    F.col(lon_col) <= F.lit(lng_hi)
-                )
+                t = t & (lon_n >= F.lit(lng_lo)) & (lon_n <= F.lit(lng_hi))
         terms.append(t)
     out = terms[0]
     for t in terms[1:]:

@@ -243,14 +243,24 @@ def collapse_full_sibling_tiles(
     return collapsed.unionByName(kept)
 
 
-def hilbert_sorted_writer(df: DataFrame, leaf_col: str = "cell_id"):
-    """Write layout: sort by unsigned cell id so files cluster
-    spatially (Hilbert locality) and downstream tile queries prune on
-    min/max stats (SURVEY.md §2.9).  Returns the sorted frame ready
-    for .write."""
+def hilbert_sorted_writer(
+    df: DataFrame, leaf_col: str = "cell_id", n_files: int | None = None
+):
+    """Write layout: GLOBAL Hilbert clustering — range-repartition on
+    the unsigned cell order (each output file owns a disjoint keyspace
+    slice), then sort within partitions so rows inside a file are in
+    Hilbert order too.  Downstream tile queries then prune whole files
+    on parquet min/max stats, not just directories (SURVEY.md §2.9).
+    Returns the clustered frame ready for .write."""
     from ..functions.sql_bitops import s2_unsigned_order
 
-    return df.sortWithinPartitions(s2_unsigned_order(F.col(leaf_col)))
+    order = s2_unsigned_order(F.col(leaf_col))
+    ranged = (
+        df.repartitionByRange(n_files, order)
+        if n_files is not None
+        else df.repartitionByRange(order)
+    )
+    return ranged.sortWithinPartitions(order)
 
 
 def write_tile_partitioned(
@@ -265,7 +275,14 @@ def write_tile_partitioned(
     (Catalyst PartitionFilters) and clusters reads within files.
 
     Readers filter on ``tile_pfx`` (= s2_token of the level-L parent);
-    :func:`read_tile_partition` builds that filter from any cell id."""
+    :func:`read_tile_partition` builds that filter from any cell id.
+
+    The range-repartition on the unsigned cell order inside
+    :func:`hilbert_sorted_writer` doubles as the small-files guard:
+    all rows of a level-L tile are CONTIGUOUS in that order (the tile
+    is a prefix of the cell id), so each tile directory receives its
+    rows from one — or a few adjacent — tasks instead of one file per
+    shuffle partition per tile."""
     out = df.withColumn(
         "tile_pfx", s2_token_sql(sql_s2_parent(leaf_col, partition_level))
     )

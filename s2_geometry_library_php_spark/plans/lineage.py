@@ -10,9 +10,12 @@ parquet partitioned by that prefix; after each prefix's data is
 committed, a metrics row ``(job_id, stage, cell_prefix, row_count,
 checksum, status, wall_sec)`` is appended to a lineage table.  On
 restart, the driver anti-joins the completed prefixes out of the input
-and only recomputes the remainder — idempotent because each prefix's
-output directory is overwritten atomically (dynamic partition
-overwrite).
+and only recomputes the remainder — idempotent because each recomputed
+prefix's output directory is REPLACED, not appended to
+(``spark.sql.sources.partitionOverwriteMode=dynamic`` +
+``mode("overwrite")``): a killed job may leave committed files in a
+prefix whose metric row never landed, and the resume overwrites
+exactly those prefixes, so no duplicates survive.
 
 The lineage table itself is plain parquet here; on a production
 cluster it would be an Iceberg table with snapshot isolation — the
@@ -102,11 +105,25 @@ class LineageLog:
             )
 
         t0 = time.time()
-        (
-            result.write.mode("append")
-            .partitionBy("_lineage_prefix")
-            .parquet(out_dir)
-        )
+        # Dynamic partition overwrite: only the prefixes present in
+        # `result` are replaced — completed prefixes (anti-joined out
+        # above) keep their files, while prefixes half-written by a
+        # killed attempt are atomically superseded instead of
+        # accumulating duplicate rows.
+        mode_key = "spark.sql.sources.partitionOverwriteMode"
+        prev_mode = self.spark.conf.get(mode_key, None)
+        self.spark.conf.set(mode_key, "dynamic")
+        try:
+            (
+                result.write.mode("overwrite")
+                .partitionBy("_lineage_prefix")
+                .parquet(out_dir)
+            )
+        finally:
+            if prev_mode is None:
+                self.spark.conf.unset(mode_key)
+            else:
+                self.spark.conf.set(mode_key, prev_mode)
         wall = time.time() - t0
 
         # Commit markers: per-prefix row counts + order-insensitive

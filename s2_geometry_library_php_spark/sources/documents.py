@@ -131,7 +131,12 @@ def stream_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     stage = os.path.join(tempfile.gettempdir(), f"s2stream_{tag}")
     os.makedirs(stage, exist_ok=True)
     link = os.path.join(stage, "documents.parquet")
-    if not os.path.exists(link):
+    # lexists (not exists): a BROKEN symlink — source recreated at a
+    # new path, or tmp cleaned mid-way — reports exists()==False but
+    # still blocks os.symlink, so remove any stale link first.
+    if os.path.lexists(link) and os.path.realpath(link) != os.path.realpath(src):
+        os.unlink(link)
+    if not os.path.lexists(link):
         try:
             os.symlink(src, link)
         except FileExistsError:

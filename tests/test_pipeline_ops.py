@@ -146,6 +146,46 @@ def test_lineage_resume_skips_completed(spark, docs):
         assert len(calls) == 2
 
 
+def test_lineage_resume_overwrites_unmarked_prefixes(spark, docs):
+    """A killed job can leave COMMITTED data files in a prefix whose
+    metric row never landed (task-level commit).  The resume must
+    replace those prefixes (dynamic partition overwrite), not append —
+    the round-1 append-mode bug duplicated every such row."""
+    from s2_geometry_library_php_spark.plans.lineage import LineageLog
+
+    with tempfile.TemporaryDirectory() as tmp:
+        log = LineageLog(spark, tmp, "job-kill")
+
+        def transform(df):
+            return df.withColumn("n2", F.col("doc_id") * 2)
+
+        # Simulate the kill: data for SOME prefixes is durably on disk
+        # (normal partitioned write, exactly what a half-finished stage
+        # leaves), but NO metric rows exist for any of them.
+        from s2_geometry_library_php_spark.functions.sql_bitops import (
+            s2_parent,
+        )
+
+        partial = (
+            docs.where(F.col("cell_id") >= 0)
+            .withColumn("_lineage_prefix", s2_parent(F.col("cell_id"), 2))
+        )
+        transform(partial).write.mode("append").partitionBy(
+            "_lineage_prefix"
+        ).parquet(os.path.join(tmp, "double"))
+        assert log.completed_prefixes("double").count() == 0
+
+        # Resume with the full input: every prefix is "not done", so
+        # everything recomputes — and the stale files must be replaced.
+        log.run_stage("double", docs, transform, lineage_level=2)
+        out = spark.read.parquet(os.path.join(tmp, "double"))
+        assert (
+            out.groupBy("doc_id").count().where(F.col("count") > 1).count()
+            == 0
+        )
+        assert out.count() == docs.count()
+
+
 def test_streaming_incremental_tiles(spark, docs, tmp_path):
     from s2_geometry_library_php_spark.streaming import (
         incremental_tile_stream,

@@ -425,3 +425,31 @@ def test_tile_partitioned_write_prunes_partitions(spark, docs, tmp_path):
         .collect()
     }
     assert {r.doc_id for r in got.select("doc_id").collect()} == expected
+
+
+def test_hilbert_writer_clusters_across_files(spark, docs, tmp_path):
+    """hilbert_sorted_writer must produce GLOBAL clustering: the
+    per-file [min, max] unsigned-cell-id ranges are pairwise disjoint,
+    so parquet min/max stats prune whole files (not just directories)
+    for any cell-range query."""
+    from s2_geometry_library_php_spark.operators.tiling import (
+        hilbert_sorted_writer,
+    )
+
+    path = str(tmp_path / "hilbert")
+    hilbert_sorted_writer(docs, n_files=6).write.parquet(path)
+    import glob
+
+    ranges = []
+    for f in glob.glob(f"{path}/*.parquet"):
+        part = spark.read.parquet(f)
+        row = part.agg(
+            F.min(F.col("cell_id").bitwiseXOR(F.lit(-(1 << 63)))).alias("lo"),
+            F.max(F.col("cell_id").bitwiseXOR(F.lit(-(1 << 63)))).alias("hi"),
+        ).collect()[0]
+        if row.lo is not None:
+            ranges.append((row.lo, row.hi))
+    assert len(ranges) >= 2  # the clustering claim needs >1 file
+    ranges.sort()
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 < lo2  # disjoint keyspace slices => file-level pruning
