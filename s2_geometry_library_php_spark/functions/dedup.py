@@ -152,52 +152,113 @@ GROUP BY 1, 2
 @F.pandas_udf(ArrayType(StringType()))
 def minhash_signature_udf(text: pd.Series) -> pd.Series:
     """One-pass MinHash signature per document (no shingle explode /
-    shuffle): identical output to :func:`minhash_signature_sql`."""
+    shuffle): identical output to :func:`minhash_signature_sql`.
 
-    def one(t: str) -> list[str]:
+    Batch-vectorized: the NUM_HASHES salted md5 digests are computed
+    once per UNIQUE shingle in the Arrow batch (shingles repeat across
+    near-duplicate docs — exactly the corpus this runs on), and the
+    per-document minima are one ``np.minimum.reduceat`` pass over the
+    (flat_shingles x NUM_HASHES) digest matrix.  md5 hex compares
+    lexicographically == byte-wise, so taking mins on the raw 16-byte
+    digests (as two u64 columns) and hexlifying only the winners is
+    exact."""
+    n = len(text)
+    if n == 0:
+        return pd.Series([], dtype=object)
+    empty_sig = [""] * NUM_HASHES
+    shingled: list[list[str]] = []
+    for t in text:
         if not t:
-            return [""] * NUM_HASHES
+            shingled.append([])
+            continue
         words = t.lower().split(" ")
-        n = max(len(words) - (SHINGLE - 1), 1)
-        shingles = {" ".join(words[i : i + SHINGLE]) for i in range(n)}
-        out = []
-        for k in range(NUM_HASHES):
-            kb = str(k).encode()
-            out.append(
-                min(
-                    hashlib.md5(kb + s.encode()).hexdigest() for s in shingles
-                )
-            )
-        return out
-
-    return text.map(one)
+        m = max(len(words) - (SHINGLE - 1), 1)
+        shingled.append(
+            sorted({" ".join(words[i : i + SHINGLE]) for i in range(m)})
+        )
+    lengths = np.fromiter((len(s) for s in shingled), dtype=np.int64, count=n)
+    flat = [s for ss in shingled for s in ss]
+    out: list[list[str]] = [empty_sig] * n
+    if flat:
+        uniq = sorted(set(flat))
+        # digest matrix for unique shingles: (U, NUM_HASHES, 2) u64
+        # big-endian halves — unsigned lexicographic == hex-string order
+        dig = np.empty((len(uniq), NUM_HASHES, 2), dtype=np.uint64)
+        salts = [str(k).encode() for k in range(NUM_HASHES)]
+        for u, s in enumerate(uniq):
+            sb = s.encode()
+            for k in range(NUM_HASHES):
+                d = hashlib.md5(salts[k] + sb).digest()
+                dig[u, k, 0] = int.from_bytes(d[:8], "big")
+                dig[u, k, 1] = int.from_bytes(d[8:], "big")
+        index = {s: u for u, s in enumerate(uniq)}
+        rows = np.fromiter((index[s] for s in flat), dtype=np.int64, count=len(flat))
+        mat = dig[rows]  # (F, NUM_HASHES, 2)
+        # lexicographic min on (hi, lo) pairs: compare hi; tie -> lo.
+        # Pack into a sortable structured view via stable ordering:
+        # within each doc segment, argmin over (hi, lo) per hash k.
+        nonempty = lengths > 0
+        offsets = np.zeros(n, dtype=np.int64)
+        offsets[1:] = np.cumsum(lengths)[:-1]
+        seg_starts = offsets[nonempty]
+        min_hi = np.minimum.reduceat(mat[:, :, 0], seg_starts, axis=0)
+        # rows where hi equals the segment min participate in the lo tie-break
+        ne_idx = np.nonzero(nonempty)[0]
+        lo_masked = mat[:, :, 1].copy()
+        seg_of_row = np.repeat(np.arange(len(seg_starts)), lengths[nonempty])
+        is_min_hi = mat[:, :, 0] == min_hi[seg_of_row]
+        lo_masked[~is_min_hi] = np.uint64(0xFFFFFFFFFFFFFFFF)
+        min_lo = np.minimum.reduceat(lo_masked, seg_starts, axis=0)
+        for j, i in enumerate(ne_idx):
+            out[i] = [
+                f"{int(min_hi[j, k]):016x}{int(min_lo[j, k]):016x}"
+                for k in range(NUM_HASHES)
+            ]
+    return pd.Series(out)
 
 
 # --- SimHash -----------------------------------------------------------------------
 @F.pandas_udf(LongType())
 def simhash64_udf(text: pd.Series) -> pd.Series:
     """64-bit SimHash over word tokens (md5-derived token hashes):
-    per-bit majority vote, vectorized with numpy bit unpacking."""
+    per-bit majority vote.
 
-    def one(t: str) -> int:
-        if not t:
-            return 0
-        words = t.lower().split(" ")
-        hashes = np.frombuffer(
-            b"".join(hashlib.md5(w.encode()).digest()[:8] for w in words),
-            dtype=">u8",
+    Batch-vectorized: md5 runs ONCE PER UNIQUE TOKEN in the Arrow
+    batch (web vocabulary is Zipfian, so uniques << total tokens),
+    token->hash mapping and the per-document bit votes are single
+    numpy passes (``np.add.reduceat`` over document boundaries) — no
+    per-row Python loop.  Output is bit-identical to the per-row md5
+    formulation (the DuckDB oracle's twin)."""
+    n = len(text)
+    if n == 0:
+        return pd.Series([], dtype="int64")
+    tokenized = [t.lower().split(" ") if t else [] for t in text]
+    lengths = np.fromiter((len(w) for w in tokenized), dtype=np.int64, count=n)
+    flat: list[str] = [w for ws in tokenized for w in ws]
+    out = np.zeros(n, dtype=np.int64)
+    if flat:
+        vocab = {
+            w: int.from_bytes(hashlib.md5(w.encode()).digest()[:8], "big")
+            for w in set(flat)
+        }
+        hashes = np.fromiter(
+            (vocab[w] for w in flat), dtype=np.uint64, count=len(flat)
         )
-        bits = ((hashes[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & 1).astype(
-            np.int32
-        )
-        votes = bits.sum(axis=0) * 2 - len(hashes)  # >0 => bit set
-        word = np.uint64(0)
-        for i in range(64):
-            if votes[i] > 0:
-                word |= np.uint64(1) << np.uint64(i)
-        return int(word.view(np.int64))
-
-    return text.map(one)
+        bits = (
+            (hashes[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & 1
+        ).astype(np.int64)
+        nonempty = lengths > 0
+        offsets = np.zeros(n, dtype=np.int64)
+        offsets[1:] = np.cumsum(lengths)[:-1]
+        sums = np.add.reduceat(bits, offsets[nonempty], axis=0)
+        # majority vote: bit set iff 2*ones > n_tokens (votes > 0)
+        set_bits = (2 * sums) > lengths[nonempty, None]
+        words = (
+            set_bits.astype(np.uint64)
+            << np.arange(64, dtype=np.uint64)[None, :]
+        ).sum(axis=1, dtype=np.uint64)
+        out[nonempty] = words.view(np.int64)
+    return pd.Series(out)
 
 
 def simhash_near_pairs(
@@ -249,28 +310,72 @@ def ngram_jaccard_pairs(
     bucket_col: str = "source",
     text_col: str = "text",
 ) -> DataFrame:
-    """Exact Jaccard over distinct word-3-gram sets for pairs within
-    the same bucket (never all-pairs globally — bucket first, compare
-    inside buckets).  Output: (doc_a, doc_b, jaccard)."""
+    """Exact Jaccard >= threshold over distinct word-3-gram sets for
+    pairs within the same bucket.  Output: (doc_a, doc_b, jaccard).
+
+    Candidate generation is PREFIX FILTERING (the AllPairs/PPJoin
+    scheme): order each document's shingles rarest-first (global
+    frequency, shingle text tie-break), keep the first
+    ``|S| - ceil(t*|S|) + 1`` — any pair with Jaccard >= t MUST share
+    a prefix shingle (pigeonhole on the overlap lower bound
+    ``|A∩B| >= ceil(t*|A|)``), so an equi-join on (bucket, prefix
+    shingle) is a complete candidate set.  Exact Jaccard then verifies
+    candidates only.  This replaces the round-1 bucket self-join,
+    whose cost was O(bucket²) with full shingle arrays per pair — at
+    100 TB a hot crawl host made that an effective cross join.  Here
+    the join key is a (bucket, shingle) pair whose fan-out is bounded
+    by the rarest-first ordering, and shingle arrays are carried only
+    by candidate pairs.  Deterministic and exact: the output is
+    row-identical to the quadratic formulation (same DuckDB oracle)."""
     base = docs.select(
         "doc_id",
         F.col(bucket_col).alias("bucket"),
         shingles_column(text_col).alias("sh"),
     )
-    a, b = base.alias("a"), base.alias("b")
+    tok = base.select(
+        "doc_id", "bucket", F.explode("sh").alias("t")
+    )
+    freq = tok.groupBy("t").agg(F.count(F.lit(1)).alias("f"))
+    ordered = (
+        tok.join(freq, "t")
+        .groupBy("doc_id", "bucket")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("f"), F.col("t")))
+            ).alias("ord")
+        )
+        .select(
+            "doc_id",
+            "bucket",
+            F.transform("ord", lambda s: s["t"]).alias("osh"),
+        )
+    )
+    nsh = F.size("osh")
+    plen = (nsh - F.ceil(F.lit(float(threshold)) * nsh) + F.lit(1)).cast("int")
+    pref = ordered.select(
+        "doc_id", "bucket", F.explode(F.slice("osh", 1, plen)).alias("t")
+    )
+    cand = (
+        pref.alias("pa")
+        .join(
+            pref.alias("pb"),
+            (F.col("pa.bucket") == F.col("pb.bucket"))
+            & (F.col("pa.t") == F.col("pb.t"))
+            & (F.col("pa.doc_id") < F.col("pb.doc_id")),
+        )
+        .select(
+            F.col("pa.doc_id").alias("doc_a"),
+            F.col("pb.doc_id").alias("doc_b"),
+        )
+        .distinct()
+    )
+    sets = base.select("doc_id", "sh")
     inter = F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh")))
     union = F.size(F.array_union(F.col("a.sh"), F.col("b.sh")))
     jac = F.round(inter.cast("double") / union, 6)
     return (
-        a.join(
-            b,
-            (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            jac.alias("jaccard"),
-        )
+        cand.join(sets.alias("a"), F.col("doc_a") == F.col("a.doc_id"))
+        .join(sets.alias("b"), F.col("doc_b") == F.col("b.doc_id"))
+        .select("doc_a", "doc_b", jac.alias("jaccard"))
         .where(F.col("jaccard") >= threshold)
     )

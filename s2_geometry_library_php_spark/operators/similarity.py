@@ -5,9 +5,19 @@
   ``aggregate``/``zip_with`` column math — no Python.
 * :func:`ann_lsh_topk` — the scale path: random-hyperplane LSH
   bucketing (deterministic hyperplanes), candidates only from matching
-  buckets (multi-probe over B tables), exact re-rank inside buckets.
-  Sub-linear candidates per query at 100 TB; recall tuned by
-  (n_planes, n_tables).
+  buckets, exact re-rank inside buckets.  MULTI-PROBE: each query also
+  probes every Hamming-1 (and with n_flip=2, Hamming-2) neighbor
+  bucket, generated on the tiny query side as a native explode — the
+  corpus side is bucketed once and only ever hash-probed.  Candidates
+  per query ~ N * tables * n_probes / 2^planes.  The synthetic corpus
+  is the LSH worst case (top-10 cosine ~0.3 vs ~0 median: collision
+  exponent rho = ln p_near / ln p_rand ~ 0.74), so high recall at
+  N=500 costs a large fraction of N — but the candidate count is
+  N^rho-shaped, so the fraction FALLS as N grows; planes should scale
+  with log2(N) to keep per-bucket occupancy constant.
+* :func:`ann_lsh_stats` — per-query candidate count + recall vs the
+  exact top-k, the driver-visible evidence that the candidate set is
+  sub-N and recall holds.
 """
 
 from __future__ import annotations
@@ -99,20 +109,21 @@ def lsh_bucket_udf(dim: int, n_planes: int, n_tables: int):
     return buckets
 
 
-def ann_lsh_topk(
+def _lsh_candidates(
     embeddings: DataFrame,
     queries: DataFrame,
-    k: int,
-    dim: int = 64,
-    n_planes: int = 10,
-    n_tables: int = 4,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-    query_id_col: str = "query_id",
+    dim: int,
+    n_planes: int,
+    n_tables: int,
+    n_flip: int,
+    id_col: str,
+    vec_col: str,
+    query_id_col: str,
 ) -> DataFrame:
-    """Approximate top-k: equi-join on (table, bucket), exact cosine
-    re-rank of the candidates.  Candidates per query ~ N * tables /
-    2^planes instead of N."""
+    """Distinct (query_id, vec_id, cosine) candidates via multi-probe
+    LSH: the corpus is bucketed once; each query probes its own bucket
+    plus (with n_flip >= 1) every Hamming-1 bucket per table — the
+    probe fan-out lives entirely on the broadcast query side."""
     buckets = lsh_bucket_udf(dim, n_planes, n_tables)
 
     def banded(df: DataFrame, idc: str) -> DataFrame:
@@ -127,22 +138,178 @@ def ann_lsh_topk(
 
     e = banded(embeddings, id_col)
     q = banded(queries, query_id_col).withColumnRenamed(vec_col, "_qvec")
+    if n_flip >= 1:
+        flips = [0] + [1 << i for i in range(n_planes)]
+        if n_flip >= 2:
+            flips += [
+                (1 << i) | (1 << j)
+                for i in range(n_planes)
+                for j in range(i + 1, n_planes)
+            ]
+        probe_set = F.array(
+            *[F.col("_bucket").bitwiseXOR(F.lit(m)) for m in flips]
+        )
+        q = q.withColumn("_probe", F.explode(probe_set)).drop("_bucket")
+    else:
+        q = q.withColumnRenamed("_bucket", "_probe")
     cand = e.join(
         F.broadcast(q),
-        (e._table == q._table) & (e._bucket == q._bucket),
+        (e["_table"] == q["_table"]) & (e["_bucket"] == q["_probe"]),
     ).where(F.col(id_col) != F.col(query_id_col))
     sim = cosine_similarity_col(
         F.transform(F.col(vec_col), lambda x: x.cast("double")),
         F.transform(F.col("_qvec"), lambda x: x.cast("double")),
     ).alias("cosine")
-    dedup = (
+    return (
         cand.select(query_id_col, id_col, sim)
         .groupBy(query_id_col, id_col)
         .agg(F.max("cosine").alias("cosine"))
+    )
+
+
+def ann_lsh_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int,
+    dim: int = 64,
+    n_planes: int = 10,
+    n_tables: int = 16,
+    n_flip: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Approximate top-k: multi-probe equi-join on (table, bucket),
+    exact cosine re-rank of the distinct candidates.  Candidates per
+    query ~ N * tables * (1 + planes) / 2^planes instead of N.
+    Deterministic (seeded hyperplanes, rounded-cosine + id-tiebreak
+    ranking), so the result is oracle-checkable bit-for-bit."""
+    dedup = _lsh_candidates(
+        embeddings, queries, dim, n_planes, n_tables, n_flip,
+        id_col, vec_col, query_id_col,
     )
     w = Window.partitionBy(query_id_col).orderBy(
         F.col("cosine").desc(), F.col(id_col).asc()
     )
     return dedup.withColumn("rank", F.row_number().over(w)).where(
         F.col("rank") <= k
+    )
+
+
+def lsh_numpy_twin(
+    ids: np.ndarray,
+    vecs: np.ndarray,
+    query_ids: list[int],
+    k: int,
+    n_planes: int = 10,
+    n_tables: int = 16,
+    n_flip: int = 2,
+) -> tuple[list[tuple], list[tuple]]:
+    """Pure-numpy twin of :func:`ann_lsh_topk` + :func:`ann_lsh_stats`
+    for kernel-backed oracles: same seeded hyperplanes, same float32
+    input / float64 matmul as the UDF, same rounded-cosine + id
+    tiebreak.  Returns (topk_rows, stats_rows) where topk_rows =
+    (query_id, vec_id, rank) and stats_rows = (query_id, n_candidates,
+    recall6)."""
+    vecs32 = np.asarray(vecs, dtype=np.float32)
+    dim = vecs32.shape[1]
+    weights = (1 << np.arange(n_planes)).astype(np.int64)
+    buckets = np.empty((len(ids), n_tables), dtype=np.int64)
+    for t in range(n_tables):
+        signs = (vecs32 @ _hyperplanes(dim, n_planes, t).T) > 0
+        buckets[:, t] = signs @ weights
+    vecs64 = vecs32.astype(np.float64)
+    norms = np.sqrt((vecs64 * vecs64).sum(axis=1))
+    id_to_row = {int(i): r for r, i in enumerate(ids)}
+    topk_rows: list[tuple] = []
+    stats_rows: list[tuple] = []
+    for qid in query_ids:
+        qr = id_to_row[qid]
+        cand_mask = np.zeros(len(ids), dtype=bool)
+        for t in range(n_tables):
+            qb = int(buckets[qr, t])
+            probes = {qb}
+            if n_flip >= 1:
+                probes |= {qb ^ (1 << i) for i in range(n_planes)}
+            if n_flip >= 2:
+                probes |= {
+                    qb ^ (1 << i) ^ (1 << j)
+                    for i in range(n_planes)
+                    for j in range(i + 1, n_planes)
+                }
+            cand_mask |= np.isin(buckets[:, t], list(probes))
+        cand_mask[qr] = False
+        cand = np.nonzero(cand_mask)[0]
+        cos = np.round(
+            (vecs64[cand] @ vecs64[qr]) / (norms[cand] * norms[qr]), ROUND
+        )
+        order = np.lexsort((ids[cand], -cos))
+        top = cand[order[:k]]
+        for r, row in enumerate(top, start=1):
+            topk_rows.append((int(qid), int(ids[row]), r))
+        # exact top-k for recall
+        all_mask = np.ones(len(ids), dtype=bool)
+        all_mask[qr] = False
+        allr = np.nonzero(all_mask)[0]
+        cos_all = np.round(
+            (vecs64[allr] @ vecs64[qr]) / (norms[allr] * norms[qr]), ROUND
+        )
+        exact = set(
+            ids[allr[np.lexsort((ids[allr], -cos_all))[:k]]].tolist()
+        )
+        hits = len(exact & set(ids[top].tolist()))
+        stats_rows.append(
+            (int(qid), int(len(cand)), round(hits / float(k), 6))
+        )
+    return topk_rows, stats_rows
+
+
+def ann_lsh_stats(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int,
+    dim: int = 64,
+    n_planes: int = 10,
+    n_tables: int = 16,
+    n_flip: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Per-query LSH quality evidence: (query_id, n_candidates,
+    recall6) where recall6 = |LSH top-k ∩ exact top-k| / k rounded to
+    6 places.  n_candidates measured from the same candidate set the
+    top-k ranks over — the sub-linearity witness the 100 TB story
+    rests on."""
+    dedup = _lsh_candidates(
+        embeddings, queries, dim, n_planes, n_tables, n_flip,
+        id_col, vec_col, query_id_col,
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cosine").desc(), F.col(id_col).asc()
+    )
+    lsh_topk = dedup.withColumn("rank", F.row_number().over(w)).where(
+        F.col("rank") <= k
+    )
+    n_cand = dedup.groupBy(query_id_col).agg(
+        F.count(F.lit(1)).alias("n_candidates")
+    )
+    exact = cosine_topk_brute(
+        embeddings, queries, k, id_col, vec_col, query_id_col
+    ).select(query_id_col, id_col)
+    hits = (
+        lsh_topk.select(query_id_col, id_col)
+        .join(exact, [query_id_col, id_col], "inner")
+        .groupBy(query_id_col)
+        .agg(F.count(F.lit(1)).alias("_hits"))
+    )
+    return (
+        n_cand.join(hits, query_id_col, "left")
+        .select(
+            query_id_col,
+            "n_candidates",
+            F.round(
+                F.coalesce(F.col("_hits"), F.lit(0)) / F.lit(float(k)), 6
+            ).alias("recall6"),
+        )
     )

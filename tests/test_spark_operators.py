@@ -177,7 +177,7 @@ def test_ann_lsh_recall(spark):
         cosine_topk_brute,
     )
 
-    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
     q = emb.where(F.col("vec_id") < 8).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
@@ -185,17 +185,16 @@ def test_ann_lsh_recall(spark):
         (r.query_id, r.vec_id)
         for r in cosine_topk_brute(emb, q, 10).collect()
     }
-    # synthetic embeddings are near-random (low top-10 cosine), the
-    # hardest case for hyperplane LSH: 4 planes x 16 tables gives
-    # ~0.89 recall here (measured); assert a safe floor.
+    # synthetic embeddings are near-random (top-10 cosine ~0.3), the
+    # hardest case for hyperplane LSH; the tuned default (10 planes x
+    # 16 tables, Hamming-2 multi-probe) measures 0.95 mean recall at
+    # sf0.01 with ~60% of N as candidates (rho ~ 0.74 regime).
     approx = {
         (r.query_id, r.vec_id)
-        for r in ann_lsh_topk(
-            emb, q, 10, n_planes=4, n_tables=16
-        ).collect()
+        for r in ann_lsh_topk(emb, q, 10).collect()
     }
     recall = len(exact & approx) / len(exact)
-    assert recall >= 0.7, f"LSH recall too low: {recall}"
+    assert recall >= 0.9, f"LSH recall too low: {recall}"
 
 
 def test_extract_text_byte_identical(spark, docs):
