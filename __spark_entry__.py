@@ -326,6 +326,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.round("dist_rad", 6).alias("dist6"),
         )
 
+    def q_knn_regions(spark, sf):
+        """k nearest regions per probe by distance to the region rect
+        bound (S2LatLngRect.getDistance) — native-SQL trig vs the
+        faithful-port kernel oracle."""
+        from s2_geometry_library_php_spark.operators.region_distance import (
+            knn_regions,
+        )
+
+        probes = spark.createDataFrame(
+            KNN_PROBES, "probe_id long, lat double, lon double"
+        )
+        return knn_regions(spark, probes, region_fixtures(), 3).select(
+            "probe_id", "region_id", "rank", "dist6"
+        )
+
     def q_exact_dedup(spark, sf):
         docs = spark.read.parquet(f"{sf}/documents.parquet")
         return exact_duplicate_groups(docs).select(
@@ -809,6 +824,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spatial_join": q_spatial_join,
         "covering_tokens": q_covering,
         "knn": q_knn,
+        "knn_regions": q_knn_regions,
         "exact_dedup": q_exact_dedup,
         "minhash_pairs": q_minhash_pairs,
         "simhash": q_simhash,
@@ -949,6 +965,21 @@ def _kernel_oracles() -> dict[str, str]:
         [
             ("probe_id", "BIGINT"),
             ("doc_id", "BIGINT"),
+            ("rank", "BIGINT"),
+            ("dist6", "DOUBLE"),
+        ],
+    )
+
+    # k-nearest-regions: independent faithful-port rect-distance kernel
+    from s2_geometry_library_php_spark.operators.region_distance import (
+        knn_regions_numpy,
+    )
+
+    _ORACLE_CACHE["knn_regions"] = _values_sql(
+        knn_regions_numpy(region_fixtures(), KNN_PROBES, 3),
+        [
+            ("probe_id", "BIGINT"),
+            ("region_id", "BIGINT"),
             ("rank", "BIGINT"),
             ("dist6", "DOUBLE"),
         ],

@@ -146,6 +146,18 @@ class S1Interval:
         length += 2 * M_PI
         return length if length > 0 else -1.0
 
+    def complement_center(self) -> float:
+        """Center of the complement interval (S1Interval semantics:
+        complement of [lo,hi] is [hi,lo]; a point interval's complement
+        is full, center 0).  Used by the rect distance dispatch."""
+        if self.lo == self.hi:
+            return 0.0  # complement is full
+        c = 0.5 * (self.lo + self.hi)
+        if not self.is_inverted():
+            # complement is the inverted interval (hi, lo): shift by pi
+            return c + M_PI if c <= 0 else c - M_PI
+        return c
+
     def contains(self, p: float) -> bool:
         """Canonical contains (the commented S1Interval.php:126-150)."""
         if p == -M_PI:
@@ -255,6 +267,62 @@ class LatLngRect:
         else:
             lng = 0.5 * (self.lng.lo + self.lng.hi)
         return geom.latlng_to_xyz(np.array(lat), np.array(lng))
+
+    def get_distance_latlng(self, lat: float, lng: float) -> float:
+        """Min surface distance (radians) from a point to the rect —
+        boundary or interior (S2LatLngRect.php:222-243).
+
+        If the point's longitude falls inside the rect's lng interval
+        the nearest point is due north/south (pure latitude clamp);
+        otherwise the nearest rect point lies on the closer of the two
+        longitudinal boundary edges (meridian segments), chosen by
+        which half of the lng-interval complement holds the point."""
+        if self.is_empty():
+            raise ValueError("distance to an empty rect is undefined")
+        if self.lng.contains(lng):
+            return max(0.0, max(lat - self.lat.hi, self.lat.lo - lat))
+        # nearer meridian: the complement half adjacent to hi vs lo
+        # (S1Interval(hi, complement-center) contains p.lng <=> hi side)
+        comp_center = self.lng.complement_center()
+        interval = S1Interval(self.lng.hi, comp_center)
+        a_lng = self.lng.hi if interval.contains(lng) else self.lng.lo
+        lo = geom.latlng_to_xyz(np.array(self.lat.lo), np.array(a_lng))
+        hi = geom.latlng_to_xyz(np.array(self.lat.hi), np.array(a_lng))
+        p = geom.latlng_to_xyz(np.array(lat), np.array(lng))
+        return float(geom.edge_distance_radians(p[None, :], lo, hi)[0])
+
+    def get_distance_rect(self, other: "LatLngRect") -> float:
+        """Min surface distance (radians) between two non-empty rects
+        (S2LatLngRect.php:246-306)."""
+        a, b = self, other
+        if a.is_empty() or b.is_empty():
+            raise ValueError("distance to an empty rect is undefined")
+        if a.lng.intersects(b.lng):
+            if a.lat.intersects(b.lat):
+                return 0.0  # rects overlap
+            # shortest path runs along a line of longitude
+            if a.lat.lo > b.lat.hi:
+                return a.lat.lo - b.lat.hi
+            return b.lat.lo - a.lat.hi
+        # disjoint longitude intervals: nearest pair of meridian edges
+        lo_hi = S1Interval.from_point_pair(a.lng.lo, b.lng.hi)
+        hi_lo = S1Interval.from_point_pair(a.lng.hi, b.lng.lo)
+        if lo_hi.get_length() < hi_lo.get_length():
+            a_lng, b_lng = a.lng.lo, b.lng.hi
+        else:
+            a_lng, b_lng = a.lng.hi, b.lng.lo
+        a_lo = geom.latlng_to_xyz(np.array(a.lat.lo), np.array(a_lng))
+        a_hi = geom.latlng_to_xyz(np.array(a.lat.hi), np.array(a_lng))
+        b_lo = geom.latlng_to_xyz(np.array(b.lat.lo), np.array(b_lng))
+        b_hi = geom.latlng_to_xyz(np.array(b.lat.hi), np.array(b_lng))
+        ends = np.stack([a_lo, a_hi])
+        endsb = np.stack([b_lo, b_hi])
+        return float(
+            min(
+                geom.edge_distance_radians(ends, b_lo, b_hi).min(),
+                geom.edge_distance_radians(endsb, a_lo, a_hi).min(),
+            )
+        )
 
     def get_cap_bound(self) -> "Cap":
         """Smaller of a pole cap and a center cap (canonical

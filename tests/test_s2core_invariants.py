@@ -286,3 +286,139 @@ def test_simple_covering_flood_fill():
     leaves = cid.cell_id_from_latlng_degrees(lat[inside], lng[inside])
     parents = cid.parent(leaves, level)
     assert {int(p) for p in parents} <= cov_set
+
+
+# --- rect distance (S2LatLngRect.getDistance) -----------------------------------
+def test_rect_distance_point_invariants():
+    import math
+
+    from s2_geometry_library_php_spark.s2core.cell import (
+        LatLngRect,
+        R1Interval,
+        S1Interval,
+    )
+
+    rects = [
+        LatLngRect(
+            R1Interval(math.radians(35.0), math.radians(45.0)),
+            S1Interval(math.radians(-10.0), math.radians(10.0)),
+        ),
+        # antimeridian wrap
+        LatLngRect(
+            R1Interval(math.radians(-15.0), math.radians(15.0)),
+            S1Interval(math.radians(170.0), math.radians(-170.0)),
+        ),
+        # full-lng polar band
+        LatLngRect(
+            R1Interval(math.radians(80.0), math.radians(90.0)),
+            S1Interval.full(),
+        ),
+    ]
+    rng = np.random.default_rng(5)
+    lats = rng.uniform(-89.9, 89.9, 300)
+    lngs = rng.uniform(-180.0, 180.0, 300)
+    for rect in rects:
+        for la, ln in zip(lats, lngs):
+            d = rect.get_distance_latlng(math.radians(la), math.radians(ln))
+            assert 0.0 <= d <= math.pi
+            inside = rect.contains_latlng(math.radians(la), math.radians(ln))
+            if inside:
+                assert d == 0.0
+            else:
+                assert d > 0.0
+            # d is a true lower bound: distance to sampled boundary
+            # points can only be >= d (up to discretization)
+            corner = geom.latlng_to_xyz(
+                np.array([rect.lat.lo, rect.lat.lo, rect.lat.hi, rect.lat.hi]),
+                np.array([rect.lng.lo, rect.lng.hi, rect.lng.lo, rect.lng.hi]),
+            )
+            p = geom.latlng_to_xyz(
+                np.radians(np.array([la])), np.radians(np.array([ln]))
+            )
+            corner_d = float(geom.angle_between(p, corner).min())
+            assert d <= corner_d + 1e-12
+
+
+def test_rect_distance_rect_invariants():
+    import math
+
+    from s2_geometry_library_php_spark.s2core.cell import (
+        LatLngRect,
+        R1Interval,
+        S1Interval,
+    )
+
+    def mk(lat_lo, lat_hi, lng_lo, lng_hi):
+        return LatLngRect(
+            R1Interval(math.radians(lat_lo), math.radians(lat_hi)),
+            S1Interval(math.radians(lng_lo), math.radians(lng_hi)),
+        )
+
+    a = mk(10, 20, 10, 20)
+    b = mk(15, 25, 15, 25)  # overlaps a
+    c = mk(40, 50, 10, 20)  # north of a, same lng
+    d = mk(10, 20, 60, 70)  # east of a, same lat
+    assert a.get_distance_rect(b) == 0.0
+    assert abs(a.get_distance_rect(c) - math.radians(20.0)) < 1e-12
+    # symmetry
+    for x, y in [(a, c), (a, d), (c, d)]:
+        assert abs(x.get_distance_rect(y) - y.get_distance_rect(x)) < 1e-12
+    # consistency with point distance: rect-to-rect <= point-in-y to x
+    rng = np.random.default_rng(9)
+    for _ in range(50):
+        la = math.radians(rng.uniform(10, 20))
+        ln = math.radians(rng.uniform(60, 70))
+        assert a.get_distance_rect(d) <= a.get_distance_latlng(la, ln) + 1e-12
+
+
+def test_rect_distance_sql_matches_kernel(spark):
+    """The native-SQL rect distance (region_distance.rect_distance_col)
+    must agree with the faithful-port kernel on a dense probe grid x
+    every fixture region bound (round-6)."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from s2_geometry_library_php_spark.operators.region_distance import (
+        rect_distance_col,
+        regions_rect_df,
+    )
+    from s2_geometry_library_php_spark.s2core.region import (
+        region_from_params,
+    )
+    from s2_geometry_library_php_spark.sources import region_fixtures
+
+    rng = np.random.default_rng(11)
+    pts = [
+        (int(i), float(la), float(ln))
+        for i, (la, ln) in enumerate(
+            zip(
+                rng.uniform(-89.9, 89.9, 200),
+                rng.uniform(-180.0, 180.0, 200),
+            )
+        )
+    ] + [(900, 0.0, -180.0), (901, 90.0, 0.0), (902, -90.0, 17.0)]
+    probes = spark.createDataFrame(pts, "probe_id long, lat double, lon double")
+    rects = regions_rect_df(spark, region_fixtures())
+    got = {
+        (r.probe_id, r.region_id): r.d6
+        for r in probes.crossJoin(F.broadcast(rects))
+        .select(
+            "probe_id",
+            "region_id",
+            F.round(rect_distance_col(F.col("lat"), F.col("lon")), 6).alias("d6"),
+        )
+        .collect()
+    }
+    for spec in region_fixtures():
+        reg = region_from_params(
+            spec["kind"], spec["params"], spec.get("loop_offsets")
+        )
+        b = reg.get_rect_bound()
+        for pid, la, ln in pts:
+            plat = math.radians(la)
+            plng = math.radians(180.0 if ln == -180.0 else ln)
+            want = round(b.get_distance_latlng(plat, plng), 6)
+            assert abs(got[(pid, spec["region_id"])] - want) <= 1e-6, (
+                pid, spec["region_id"], got[(pid, spec["region_id"])], want
+            )
