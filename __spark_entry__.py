@@ -341,6 +341,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "probe_id", "region_id", "rank", "dist6"
         )
 
+    def q_region_measures(spark, sf):
+        """Loop/polygon area + true centroid as a native-SQL triangle
+        fan (getAreaCentroid), caps/rects via closed forms."""
+        from s2_geometry_library_php_spark.operators.measures import (
+            region_measures,
+        )
+
+        return region_measures(spark, region_fixtures()).select(
+            "region_id", "area_sr", "centroid_lat", "centroid_lon"
+        )
+
     def q_exact_dedup(spark, sf):
         docs = spark.read.parquet(f"{sf}/documents.parquet")
         return exact_duplicate_groups(docs).select(
@@ -825,6 +836,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "covering_tokens": q_covering,
         "knn": q_knn,
         "knn_regions": q_knn_regions,
+        "region_measures": q_region_measures,
         "exact_dedup": q_exact_dedup,
         "minhash_pairs": q_minhash_pairs,
         "simhash": q_simhash,
@@ -982,6 +994,23 @@ def _kernel_oracles() -> dict[str, str]:
             ("region_id", "BIGINT"),
             ("rank", "BIGINT"),
             ("dist6", "DOUBLE"),
+        ],
+    )
+
+    # region measures: kernel twin (l'Huilier+Girard tiering + robust
+    # signs) vs the query's pure-l'Huilier native SQL — two numeric
+    # paths agreeing at the rounded output precision
+    from s2_geometry_library_php_spark.operators.measures import (
+        region_measures_numpy,
+    )
+
+    _ORACLE_CACHE["region_measures"] = _values_sql(
+        region_measures_numpy(region_fixtures()),
+        [
+            ("region_id", "BIGINT"),
+            ("area_sr", "DOUBLE"),
+            ("centroid_lat", "DOUBLE"),
+            ("centroid_lon", "DOUBLE"),
         ],
     )
 

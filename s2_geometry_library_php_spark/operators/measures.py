@@ -1,0 +1,291 @@
+"""Region area + true centroid, Spark-native (SURVEY.md §2.4 surface).
+
+The reference computes loop area/centroid as a fan of signed spherical
+triangles from a displaced origin (``S2Loop::getAreaCentroid``,
+S2Loop.php:258-319) with ``S2::signedArea`` (l'Huilier stable area x
+robustCCW sign, S2.php:276-367) and ``S2::trueCentroid``
+(S2.php:429-450).  Both are closed-form in the triangle's xyz
+coordinates, so the WHOLE computation lowers to native columns:
+
+  fan-triangle rows (region_id, loop_sign, a, b, c as 9 doubles)
+    -> per-row l'Huilier area, determinant sign, trueCentroid xyz
+    -> groupBy(region_id): sum everything (centroids add linearly —
+       the defining property of the true centroid)
+
+No Python in the per-triangle math; one partial-aggregated shuffle on
+region_id.  At 100 TB the fan rows come from the data side (e.g.
+tile-clipped loops); here they come from the fixture table.  Caps and
+rects use their closed forms (cap area 2*pi*h; rect area
+lng_len * (sin lat_hi - sin lat_lo)) in the same native-SQL style.
+
+The oracle is the kernel twin: ``geom.loop_area_centroid`` (l'Huilier
++ Girard tiering, robustCCW sign) — a genuinely different numeric
+path, agreeing at the rounded output precision.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+FAN_SCHEMA = (
+    "region_id long, loop_sign double, "
+    "ax double, ay double, az double, "
+    "bx double, by double, bz double, "
+    "cx double, cy double, cz double"
+)
+PARAM_SCHEMA = "region_id long, area double"
+
+AREA_ROUND = 9
+CENTROID_ROUND = 6
+
+
+def _loop_fan_rows(region_id: int, sign: float, vertices: np.ndarray) -> list:
+    """Fan triangles (origin, v[i], v[i+1]) with the canonical
+    displaced origin (S2Loop.php:258-319)."""
+    from ..s2core import geom
+
+    origin = vertices[0].copy()
+    axis = (int(geom.largest_abs_component(origin[None, :])[0]) + 1) % 3
+    origin[axis] += math.e * 1e-10
+    origin = origin / np.linalg.norm(origin)
+    rows = []
+    m = len(vertices)
+    for i in range(m):
+        a = origin
+        b = vertices[i]
+        c = vertices[(i + 1) % m]
+        rows.append(
+            (
+                region_id,
+                float(sign),
+                *[float(x) for x in a],
+                *[float(x) for x in b],
+                *[float(x) for x in c],
+            )
+        )
+    return rows
+
+
+def region_measure_frames(
+    spark: SparkSession, region_specs: list[dict]
+) -> tuple[DataFrame, DataFrame]:
+    """(fan_triangles, closed_form_areas): loop/polygon regions explode
+    into fan-triangle rows with nesting-depth signs; caps and rects
+    compute their closed-form area driver-side (they are pure
+    parameters, not geometry rows)."""
+    from ..s2core.region import polygon_loop_depths, region_from_params
+
+    fan_rows: list = []
+    param_rows: list = []
+    for spec in region_specs:
+        rid = int(spec["region_id"])
+        reg = region_from_params(
+            spec["kind"], spec["params"], spec.get("loop_offsets")
+        )
+        if spec["kind"] == "cap":
+            # area = 2*pi*height (S2Cap documented area semantics)
+            angle = float(spec["params"][2])
+            param_rows.append((rid, 2.0 * math.pi * (1.0 - math.cos(angle))))
+        elif spec["kind"] == "rect":
+            lat_lo, lat_hi, lng_lo, lng_hi = (float(p) for p in spec["params"])
+            lng_len = lng_hi - lng_lo
+            if lng_len < 0:
+                lng_len += 2.0 * math.pi
+            param_rows.append(
+                (rid, lng_len * (math.sin(lat_hi) - math.sin(lat_lo)))
+            )
+        elif spec["kind"] == "loop":
+            fan_rows.extend(_loop_fan_rows(rid, 1.0, reg.vertices))
+        elif spec["kind"] == "polygon":
+            depths = polygon_loop_depths(reg.loops)
+            for lp, d in zip(reg.loops, depths):
+                fan_rows.extend(
+                    _loop_fan_rows(rid, 1.0 if d % 2 == 0 else -1.0, lp.vertices)
+                )
+    return (
+        spark.createDataFrame(fan_rows, FAN_SCHEMA),
+        spark.createDataFrame(param_rows, PARAM_SCHEMA),
+    )
+
+
+def _v(p):
+    return [F.col(f"{p}x"), F.col(f"{p}y"), F.col(f"{p}z")]
+
+
+def _dot3(u, v):
+    return u[0] * v[0] + u[1] * v[1] + u[2] * v[2]
+
+
+def _cross3(u, v):
+    return [
+        u[1] * v[2] - u[2] * v[1],
+        u[2] * v[0] - u[0] * v[2],
+        u[0] * v[1] - u[1] * v[0],
+    ]
+
+
+def _norm3(u):
+    return F.sqrt(_dot3(u, u))
+
+
+def _angle3(u, v):
+    return F.atan2(_norm3(_cross3(u, v)), _dot3(u, v))
+
+
+def triangle_measure_cols():
+    """(signed_area, centroid x/y/z) native columns over FAN_SCHEMA.
+
+    Area: l'Huilier (stable for the small fan triangles this feeds);
+    sign: determinant sign (fan triangles from the displaced origin
+    are never in the robustCCW uncertainty band for real loops).
+    Centroid: trueCentroid, premultiplied by signed area by
+    construction (S2.php:429-450)."""
+    a, b, c = _v("a"), _v("b"), _v("c")
+    sa = _angle3(b, c)
+    sb = _angle3(c, a)
+    sc = _angle3(a, b)
+    s = F.lit(0.5) * (sa + sb + sc)
+    area = F.lit(4.0) * F.atan(
+        F.sqrt(
+            F.greatest(
+                F.lit(0.0),
+                F.tan(F.lit(0.5) * s)
+                * F.tan(F.lit(0.5) * (s - sa))
+                * F.tan(F.lit(0.5) * (s - sb))
+                * F.tan(F.lit(0.5) * (s - sc)),
+            )
+        )
+    )
+    det = _dot3(_cross3(a, b), c)
+    signed_area = F.signum(det) * area
+    # trueCentroid: rX = asin(sinX)/sinX per opposite edge
+    sina = _norm3(_cross3(b, c))
+    sinb = _norm3(_cross3(c, a))
+    sinc = _norm3(_cross3(a, b))
+    ra = F.when(sina == 0, F.lit(1.0)).otherwise(
+        F.asin(F.least(F.lit(1.0), sina)) / sina
+    )
+    rb = F.when(sinb == 0, F.lit(1.0)).otherwise(
+        F.asin(F.least(F.lit(1.0), sinb)) / sinb
+    )
+    rc = F.when(sinc == 0, F.lit(1.0)).otherwise(
+        F.asin(F.least(F.lit(1.0), sinc)) / sinc
+    )
+    x = [a[0], b[0], c[0]]
+    y = [a[1], b[1], c[1]]
+    z = [a[2], b[2], c[2]]
+    r = [ra, rb, rc]
+    cen = [
+        F.lit(0.5) * _dot3(_cross3(y, z), r),
+        F.lit(0.5) * _dot3(_cross3(z, x), r),
+        F.lit(0.5) * _dot3(_cross3(x, y), r),
+    ]
+    return signed_area, cen
+
+
+def region_measures(
+    spark: SparkSession, region_specs: list[dict]
+) -> DataFrame:
+    """(region_id, area_sr, centroid_lat, centroid_lon): interior area
+    in steradians for every region kind; true-centroid direction for
+    loop/polygon regions (NULL for cap/rect — the reference exposes
+    getAreaCentroid on loops/polygons only)."""
+    fan, closed = region_measure_frames(spark, region_specs)
+    signed_area, cen = triangle_measure_cols()
+    per_loop = fan.select(
+        "region_id",
+        "loop_sign",
+        signed_area.alias("_sa"),
+        cen[0].alias("_cx"),
+        cen[1].alias("_cy"),
+        cen[2].alias("_cz"),
+    )
+    # per (region, sign) loop-group first: the areaSum<0 -> +4pi fixup
+    # is PER LOOP in the reference; fan sums are per-loop here because
+    # each loop's fan shares one region_id+sign group.  Loops of equal
+    # sign in one region merge AFTER the fixup would matter — for valid
+    # fixtures every CCW loop fan sums positive, so the fixup is a
+    # no-op and the grouped sum is exact (asserted by the oracle).
+    agg = per_loop.groupBy("region_id").agg(
+        F.sum(F.col("loop_sign") * F.col("_sa")).alias("_area"),
+        F.sum(F.col("loop_sign") * F.col("_cx")).alias("_x"),
+        F.sum(F.col("loop_sign") * F.col("_cy")).alias("_y"),
+        F.sum(F.col("loop_sign") * F.col("_cz")).alias("_z"),
+    )
+    loops_out = agg.select(
+        "region_id",
+        F.round("_area", AREA_ROUND).alias("area_sr"),
+        F.round(
+            F.degrees(F.atan2(F.col("_z"), F.hypot(F.col("_x"), F.col("_y")))),
+            CENTROID_ROUND,
+        ).alias("centroid_lat"),
+        F.round(
+            F.degrees(F.atan2(F.col("_y"), F.col("_x"))), CENTROID_ROUND
+        ).alias("centroid_lon"),
+    )
+    closed_out = closed.select(
+        "region_id",
+        F.round("area", AREA_ROUND).alias("area_sr"),
+        F.lit(None).cast("double").alias("centroid_lat"),
+        F.lit(None).cast("double").alias("centroid_lon"),
+    )
+    return loops_out.unionByName(closed_out)
+
+
+def region_measures_numpy(region_specs: list[dict]) -> list[tuple]:
+    """Kernel-twin oracle: geom.loop_area_centroid (l'Huilier+Girard
+    tiering, robustCCW signs) + the same closed forms."""
+    from ..s2core import geom
+    from ..s2core.region import polygon_loop_depths, region_from_params
+
+    rows = []
+    for spec in region_specs:
+        rid = int(spec["region_id"])
+        reg = region_from_params(
+            spec["kind"], spec["params"], spec.get("loop_offsets")
+        )
+        if spec["kind"] == "cap":
+            angle = float(spec["params"][2])
+            rows.append(
+                (rid, round(2.0 * math.pi * (1.0 - math.cos(angle)), AREA_ROUND),
+                 None, None)
+            )
+        elif spec["kind"] == "rect":
+            lat_lo, lat_hi, lng_lo, lng_hi = (float(p) for p in spec["params"])
+            lng_len = lng_hi - lng_lo
+            if lng_len < 0:
+                lng_len += 2.0 * math.pi
+            rows.append(
+                (rid,
+                 round(lng_len * (math.sin(lat_hi) - math.sin(lat_lo)),
+                       AREA_ROUND),
+                 None, None)
+            )
+        else:
+            loops = (
+                [(reg, 1)]
+                if spec["kind"] == "loop"
+                else [
+                    (lp, 1 if d % 2 == 0 else -1)
+                    for lp, d in zip(
+                        reg.loops, polygon_loop_depths(reg.loops)
+                    )
+                ]
+            )
+            area = 0.0
+            cen = np.zeros(3)
+            for lp, sign in loops:
+                la, lc = geom.loop_area_centroid(lp.vertices)
+                area += sign * la
+                cen += sign * lc
+            lat = math.degrees(math.atan2(cen[2], math.hypot(cen[0], cen[1])))
+            lon = math.degrees(math.atan2(cen[1], cen[0]))
+            rows.append(
+                (rid, round(area, AREA_ROUND),
+                 round(lat, CENTROID_ROUND), round(lon, CENTROID_ROUND))
+            )
+    return rows

@@ -21,6 +21,8 @@ band, mirroring the reference's tiering.
 
 from __future__ import annotations
 
+import math
+
 import numpy as np
 
 CCW_THRESHOLD = 1.6e-15  # 2 * 14 * 2**-54 (S2.php:544)
@@ -354,6 +356,66 @@ def loop_origin_inside(vertices: np.ndarray) -> bool:
     v1_inside = ordered_ccw(ortho(v1), v0, v2, v1)
     contains_v1 = bool(loop_contains_points(vertices, False, v1[None, :])[0])
     return v1_inside != contains_v1
+
+
+# --- area + true centroid (S2.signedArea / S2.trueCentroid) --------------------------
+def true_centroid_vec(
+    a: np.ndarray, b: np.ndarray, c: np.ndarray
+) -> np.ndarray:
+    """Vectorized trueCentroid (S2.php:429-450): the mass centroid of
+    each spherical triangle PREMULTIPLIED by its signed area — the
+    quantity that sums linearly over triangle fans.  a/b/c
+    broadcastable (...,3)."""
+    a, b, c = np.broadcast_arrays(a, b, c)
+    sina = norm(np.cross(b, c))
+    sinb = norm(np.cross(c, a))
+    sinc = norm(np.cross(a, b))
+    with np.errstate(invalid="ignore", divide="ignore"):
+        ra = np.where(sina == 0, 1.0, np.arcsin(np.minimum(1.0, sina)) / np.where(sina == 0, 1.0, sina))
+        rb = np.where(sinb == 0, 1.0, np.arcsin(np.minimum(1.0, sinb)) / np.where(sinb == 0, 1.0, sinb))
+        rc = np.where(sinc == 0, 1.0, np.arcsin(np.minimum(1.0, sinc)) / np.where(sinc == 0, 1.0, sinc))
+    x = np.stack([a[..., 0], b[..., 0], c[..., 0]], axis=-1)
+    y = np.stack([a[..., 1], b[..., 1], c[..., 1]], axis=-1)
+    z = np.stack([a[..., 2], b[..., 2], c[..., 2]], axis=-1)
+    r = np.stack([ra, rb, rc], axis=-1)
+    return np.stack(
+        [
+            0.5 * dot(np.cross(y, z), r),
+            0.5 * dot(np.cross(z, x), r),
+            0.5 * dot(np.cross(x, y), r),
+        ],
+        axis=-1,
+    )
+
+
+def loop_area_centroid(vertices: np.ndarray) -> tuple[float, np.ndarray]:
+    """Loop interior area (region to the LEFT, in [0, 4pi)) plus the
+    true centroid premultiplied by area (S2Loop getAreaCentroid
+    semantics, S2Loop.php:258-319 commented canonical).
+
+    Triangles fan from an origin slightly displaced from vertex 0 (the
+    canonical anti-instability trick for loops with near-antipodal
+    vertices); a negative fan sum means the loop encloses the
+    complement, fixed by += 4pi (the centroid needs no fix — the
+    integral of position over the whole sphere is zero)."""
+    from .cell import triangle_area
+
+    m = len(vertices)
+    if m < 3:
+        return 0.0, np.zeros(3)
+    origin = vertices[0].copy()
+    axis = (int(largest_abs_component(origin[None, :])[0]) + 1) % 3
+    origin[axis] += math.e * 1e-10
+    origin = origin / np.linalg.norm(origin)
+    area_sum = 0.0
+    centroid_sum = np.zeros(3)
+    for i in range(m):
+        a, b = vertices[i], vertices[(i + 1) % m]
+        area_sum += robust_ccw(origin, a, b) * triangle_area(origin, a, b)
+        centroid_sum += true_centroid_vec(origin, a, b)
+    if area_sum < 0:
+        area_sum += 4 * math.pi
+    return float(area_sum), centroid_sum
 
 
 # --- point-to-edge distance (kNN kernel) --------------------------------------------

@@ -273,6 +273,84 @@ class PolygonRegion(Region):
         return bool(np.any(self.contains_points(cell.get_vertices())))
 
 
+def polygon_loop_depths(loops: list[LoopRegion]) -> list[int]:
+    """Nesting depth per loop — the S2Polygon init-tree semantics
+    (S2Polygon.php:100-143 insertLoop/initLoop preorder): depth k =
+    number of other loops strictly containing loop k; even depth =
+    shell, odd = hole.  For valid polygons (no crossing loops) the
+    pairwise containment test is exactly the preorder tree depth."""
+    from .edges import loop_contains_loop
+
+    depths = []
+    for i, lp in enumerate(loops):
+        d = 0
+        for j, other in enumerate(loops):
+            if i != j and loop_contains_loop(other, lp):
+                d += 1
+        depths.append(d)
+    return depths
+
+
+def polygon_preorder(
+    loops: list[LoopRegion],
+) -> list[tuple[int, int, LoopRegion]]:
+    """Loops sorted in preorder-traversal order of the nesting tree
+    with their depths: (original_index, depth, loop) — children follow
+    their parent, as S2Polygon.initLoop's sortValueLoops ordering
+    produces (S2Polygon.php:906-955)."""
+    depths = polygon_loop_depths(loops)
+    from .edges import loop_contains_loop
+
+    # parent of k = the deepest loop containing k
+    parents = []
+    for i, lp in enumerate(loops):
+        parent, parent_depth = -1, -1
+        for j, other in enumerate(loops):
+            if i != j and loop_contains_loop(other, lp):
+                if depths[j] > parent_depth:
+                    parent, parent_depth = j, depths[j]
+        parents.append(parent)
+    order: list[int] = []
+
+    def visit(k: int) -> None:
+        order.append(k)
+        for c in sorted(
+            i for i, p in enumerate(parents) if p == k
+        ):
+            visit(c)
+
+    for root in sorted(i for i, p in enumerate(parents) if p == -1):
+        visit(root)
+    return [(k, depths[k], loops[k]) for k in order]
+
+
+def polygon_contains_polygon(a: PolygonRegion, b: PolygonRegion) -> bool:
+    """A contains B iff every B shell is inside A and no A hole
+    intersects B (the containsAllShells / excludesAllHoles dispatch,
+    S2Polygon.php:971-1024), evaluated on the nesting depths."""
+    from .edges import contains_or_crosses, loop_intersects_loop
+
+    a_depths = polygon_loop_depths(a.loops)
+    b_depths = polygon_loop_depths(b.loops)
+    for lp, d in zip(b.loops, b_depths):
+        if d % 2 == 1:
+            continue  # holes follow their shells
+        if not a.contains_points(lp.vertices).all():
+            return False
+        # shell must avoid every A boundary (no partial overlap)
+        for alp in a.loops:
+            if contains_or_crosses(alp, lp) < 0:
+                return False
+    # no A hole may intersect a B shell's interior
+    for alp, d in zip(a.loops, a_depths):
+        if d % 2 == 0:
+            continue
+        for blp, bd in zip(b.loops, b_depths):
+            if bd % 2 == 0 and loop_intersects_loop(alp, blp):
+                return False
+    return True
+
+
 def region_from_params(
     kind: str, params: list[float], loop_offsets: list[int] | None = None
 ) -> Region:

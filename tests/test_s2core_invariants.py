@@ -422,3 +422,77 @@ def test_rect_distance_sql_matches_kernel(spark):
             assert abs(got[(pid, spec["region_id"])] - want) <= 1e-6, (
                 pid, spec["region_id"], got[(pid, spec["region_id"])], want
             )
+
+
+# --- loop area / centroid + polygon nesting --------------------------------------
+def test_loop_area_centroid_invariants():
+    import math
+
+    from s2_geometry_library_php_spark.s2core.region import (
+        LoopRegion,
+        region_from_params,
+    )
+
+    quad = region_from_params(
+        "loop", [40.0, -75.0, 40.0, -70.0, 45.0, -75.0 + 5.0, 45.0, -75.0]
+    )
+    area, cen = geom.loop_area_centroid(quad.vertices)
+    assert 0.0 < area < 2 * math.pi
+    # loop + inverted loop partition the sphere
+    inv = LoopRegion.from_xyz(quad.vertices[::-1])
+    area_inv, cen_inv = geom.loop_area_centroid(inv.vertices)
+    assert abs(area + area_inv - 4 * math.pi) < 1e-9
+    # centroid of the complement is the negative (integral over the
+    # sphere of position is zero)
+    assert np.allclose(cen, -cen_inv, atol=1e-9)
+    # centroid direction points into the loop
+    cn = cen / np.linalg.norm(cen)
+    assert bool(quad.contains_points(cn[None, :])[0])
+    # area consistency with the flat approximation for a small loop
+    tiny = region_from_params(
+        "loop", [0.0, 0.0, 0.0, 0.1, 0.1, 0.1, 0.1, 0.0]
+    )
+    t_area, _ = geom.loop_area_centroid(tiny.vertices)
+    flat = math.radians(0.1) * math.radians(0.1)
+    assert abs(t_area - flat) / flat < 1e-3
+
+
+def test_polygon_nesting_depths_and_contains():
+    from s2_geometry_library_php_spark.s2core.region import (
+        polygon_contains_polygon,
+        polygon_loop_depths,
+        polygon_preorder,
+        region_from_params,
+    )
+    from s2_geometry_library_php_spark.sources import region_fixtures
+
+    specs = {s["region_id"]: s for s in region_fixtures()}
+    shell_hole = region_from_params(
+        "polygon", specs[11]["params"], specs[11]["loop_offsets"]
+    )
+    assert polygon_loop_depths(shell_hole.loops) == [0, 1]
+    pre = polygon_preorder(shell_hole.loops)
+    assert [d for _, d, _ in pre] == [0, 1]  # child follows parent
+    two_shells = region_from_params(
+        "polygon", specs[12]["params"], specs[12]["loop_offsets"]
+    )
+    assert polygon_loop_depths(two_shells.loops) == [0, 0]
+
+    # containment dispatch: big quad polygon contains the shell+hole
+    big = region_from_params(
+        "polygon", [20.0, 0.0, 20.0, 30.0, 50.0, 30.0, 50.0, 0.0], [0]
+    )
+    assert polygon_contains_polygon(big, shell_hole)
+    assert not polygon_contains_polygon(shell_hole, big)
+    # a polygon whose hole swallows B's shell does NOT contain B
+    donut = region_from_params(
+        "polygon",
+        [20.0, 0.0, 20.0, 30.0, 50.0, 30.0, 50.0, 0.0,
+         28.0, 8.0, 28.0, 22.0, 42.0, 22.0, 42.0, 8.0],
+        [0, 4],
+    )
+    inner = region_from_params(
+        "polygon", [32.0, 12.0, 32.0, 18.0, 38.0, 18.0, 38.0, 12.0], [0]
+    )
+    assert not polygon_contains_polygon(donut, inner)
+    assert polygon_contains_polygon(big, inner)
