@@ -234,6 +234,87 @@ def contains_or_crosses(a: "LoopRegion", b: "LoopRegion") -> int:
     return 1
 
 
+# --- ingest validation (S2Loop.isValid / S2Polygon.isValid) ---------------------------
+def loop_is_valid(vertices: np.ndarray) -> tuple[bool, str]:
+    """S2Loop::isValid (S2Loop.php:682-766 commented canonical):
+    >= 3 vertices, unit length, no duplicate vertices, no crossing
+    between non-adjacent edges.  Returns (ok, reason).
+
+    Deviation from the reference: no 'nearly colinear' skip — the
+    tiered robustCCW here resolves colinear cases exactly via symbolic
+    perturbation, so robust_crossing is decisive where the reference's
+    workaround had to punt."""
+    m = len(vertices)
+    if m < 3:
+        return False, "degenerate loop (fewer than 3 vertices)"
+    n2 = np.sum(vertices * vertices, axis=1)
+    if bool(np.any(np.abs(n2 - 1.0) > 1e-14)):
+        i = int(np.argmax(np.abs(n2 - 1.0)))
+        return False, f"vertex {i} is not unit length"
+    seen: dict[tuple, int] = {}
+    for i, v in enumerate(vertices):
+        key = (float(v[0]), float(v[1]), float(v[2]))
+        if key in seen:
+            return False, f"duplicate vertices: {seen[key]} and {i}"
+        seen[key] = i
+    for a1 in range(m):
+        a2 = (a1 + 1) % m
+        for b1 in range(a1 + 1, m):
+            b2 = (b1 + 1) % m
+            # skip pairs sharing a vertex (great-circle edges meet at
+            # most once; a shared endpoint is not a crossing)
+            if a1 == b1 or a1 == b2 or a2 == b1 or a2 == b2:
+                continue
+            if (
+                geom.robust_crossing(
+                    vertices[a1], vertices[a2], vertices[b1], vertices[b2]
+                )
+                > 0
+            ):
+                return False, f"edges {a1} and {b1} cross"
+    return True, ""
+
+
+def loop_is_normalized(vertices: np.ndarray) -> bool:
+    """Area <= 2*pi + slack — the loop encloses no more than half the
+    sphere (S2Loop::isNormalized documented contract)."""
+    area, _ = geom.loop_area_centroid(vertices)
+    return area <= 2.0 * np.pi + 1e-6
+
+
+def polygon_is_valid(loops: list) -> tuple[bool, str]:
+    """S2Polygon::isValid (S2Polygon.php:161-197): every loop valid,
+    no undirected edge shared between two loops, every loop
+    normalized, and no two loop boundaries cross (containsOrCrosses
+    >= 0, which also catches shared-vertex crossings).  ``loops`` are
+    LoopRegion instances.  Returns (ok, reason)."""
+    for i, lp in enumerate(loops):
+        ok, why = loop_is_valid(lp.vertices)
+        if not ok:
+            return False, f"loop {i}: {why}"
+    edges_seen: dict[tuple, tuple[int, int]] = {}
+    for i, lp in enumerate(loops):
+        m = len(lp.vertices)
+        for j in range(m):
+            a = tuple(float(x) for x in lp.vertices[j])
+            b = tuple(float(x) for x in lp.vertices[(j + 1) % m])
+            key = (a, b) if a <= b else (b, a)
+            if key in edges_seen:
+                oi, oj = edges_seen[key]
+                return (
+                    False,
+                    f"loops {oi} and {i} share an edge ({oj}, {j})",
+                )
+            edges_seen[key] = (i, j)
+    for i, lp in enumerate(loops):
+        if not loop_is_normalized(lp.vertices):
+            return False, f"loop {i} is not normalized (area > 2*pi)"
+        for j in range(i + 1, len(loops)):
+            if contains_or_crosses(lp, loops[j]) < 0:
+                return False, f"loops {i} and {j} cross"
+    return True, ""
+
+
 # --- polyline operators (S2Polyline.php:3-21 doc; body is commented Java) -----------
 def edge_closest_point(
     x: np.ndarray, a: np.ndarray, b: np.ndarray

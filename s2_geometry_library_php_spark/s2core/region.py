@@ -352,7 +352,10 @@ def polygon_contains_polygon(a: PolygonRegion, b: PolygonRegion) -> bool:
 
 
 def region_from_params(
-    kind: str, params: list[float], loop_offsets: list[int] | None = None
+    kind: str,
+    params: list[float],
+    loop_offsets: list[int] | None = None,
+    validate: bool = True,
 ) -> Region:
     """Build a region from the FIXTURES.md §2 table encoding.
 
@@ -361,14 +364,28 @@ def region_from_params(
     loop: [lat0, lng0, lat1, lng1, ...] degrees CCW
     polygon: same + loop_offsets = start index of each loop in params
              (offsets count (lat, lng) pairs).
+
+    User-supplied loop/polygon geometry is VALIDATED on ingest
+    (S2Loop/S2Polygon isValid): a self-intersecting loop or a
+    shared-edge/crossing polygon would otherwise silently yield
+    parity garbage in every containment join downstream.  Pass
+    ``validate=False`` for geometry already proven valid (e.g. the
+    boolean-op assembly pipeline, whose loops are engine-constructed).
     """
+    from .edges import loop_is_valid, polygon_is_valid
+
     if kind == "cap":
         return CapRegion(params[0], params[1], params[2])
     if kind == "rect":
         return RectRegion(params[0], params[1], params[2], params[3])
     if kind == "loop":
         pts = np.asarray(params, dtype=np.float64).reshape(-1, 2)
-        return LoopRegion(pts)
+        loop = LoopRegion(pts)
+        if validate:
+            ok, why = loop_is_valid(loop.vertices)
+            if not ok:
+                raise ValueError(f"invalid loop: {why}")
+        return loop
     if kind == "polygon":
         pts = np.asarray(params, dtype=np.float64).reshape(-1, 2)
         offsets = list(loop_offsets or [0]) + [len(pts)]
@@ -376,5 +393,9 @@ def region_from_params(
             LoopRegion(pts[offsets[k] : offsets[k + 1]])
             for k in range(len(offsets) - 1)
         ]
+        if validate:
+            ok, why = polygon_is_valid(loops)
+            if not ok:
+                raise ValueError(f"invalid polygon: {why}")
         return PolygonRegion(loops)
     raise ValueError(f"unknown region kind: {kind}")

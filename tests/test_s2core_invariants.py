@@ -496,3 +496,66 @@ def test_polygon_nesting_depths_and_contains():
     )
     assert not polygon_contains_polygon(donut, inner)
     assert polygon_contains_polygon(big, inner)
+
+
+def test_ingest_validation_rejects_bad_geometry():
+    import pytest as _pytest
+
+    from s2_geometry_library_php_spark.s2core.edges import (
+        loop_is_valid,
+        polygon_is_valid,
+    )
+    from s2_geometry_library_php_spark.s2core.region import (
+        region_from_params,
+    )
+    from s2_geometry_library_php_spark.sources import region_fixtures
+
+    # self-intersecting bowtie loop
+    with _pytest.raises(ValueError, match="cross"):
+        region_from_params(
+            "loop", [0.0, 0.0, 10.0, 10.0, 0.0, 10.0, 10.0, 0.0]
+        )
+    # duplicate vertex
+    with _pytest.raises(ValueError, match="[Dd]uplicate"):
+        region_from_params(
+            "loop", [0.0, 0.0, 0.0, 10.0, 10.0, 10.0, 0.0, 10.0]
+        )
+    # degenerate
+    with _pytest.raises(ValueError, match="degenerate"):
+        region_from_params("loop", [0.0, 0.0, 0.0, 10.0])
+    # polygon whose two loops share an edge
+    with _pytest.raises(ValueError, match="share an edge"):
+        region_from_params(
+            "polygon",
+            [0.0, 0.0, 0.0, 10.0, 10.0, 10.0, 10.0, 0.0,
+             0.0, 0.0, 0.0, 10.0, -10.0, 10.0, -10.0, 0.0][::1],
+            [0, 4],
+        )
+    # polygon with crossing loops
+    with _pytest.raises(ValueError, match="cross"):
+        region_from_params(
+            "polygon",
+            [0.0, 0.0, 0.0, 10.0, 10.0, 10.0, 10.0, 0.0,
+             5.0, 5.0, 5.0, 15.0, 15.0, 15.0, 15.0, 5.0],
+            [0, 4],
+        )
+    # every shipped fixture remains valid
+    for spec in region_fixtures():
+        region_from_params(
+            spec["kind"], spec["params"], spec.get("loop_offsets")
+        )
+    # direct predicate surface
+    ok, why = loop_is_valid(
+        region_from_params(
+            "loop", [40.0, -75.0, 40.0, -70.0, 45.0, -70.0, 45.0, -75.0]
+        ).vertices
+    )
+    assert ok and why == ""
+    shell_hole = region_from_params(
+        "polygon",
+        [30.0, 10.0, 30.0, 20.0, 40.0, 20.0, 40.0, 10.0,
+         33.0, 13.0, 33.0, 17.0, 37.0, 17.0, 37.0, 13.0],
+        [0, 4],
+    )
+    ok, why = polygon_is_valid(shell_hole.loops)
+    assert ok and why == ""
