@@ -133,6 +133,15 @@ POLYLINE_FIXTURES = [
     dict(line_id=2, vertices=[[-20.0, 175.0], [-12.0, -178.0], [-5.0, -170.0]]),
 ]
 POLYLINE_MAX_DIST = 0.01  # radians (~64 km)
+CROSSING_POLYLINES = POLYLINE_FIXTURES + [
+    # slices region 7's west+east meridian edges
+    dict(line_id=3, vertices=[[42.0, -77.0], [42.0, -72.0]]),
+    # runs north through the region-8 comb notches and region 11's
+    # shell + hole (multi-crossing stress)
+    dict(line_id=4, vertices=[[5.0, 15.0], [50.0, 15.0]]),
+    # clips the region-9 sliver triangle
+    dict(line_id=5, vertices=[[-30.5, 105.0], [-29.9, 105.0]]),
+]
 DIST_PROBE = (48.8566, 2.3522)
 
 # Shared SQL text (valid in BOTH Spark SQL and DuckDB) for the
@@ -340,6 +349,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return knn_regions(spark, probes, region_fixtures(), 3).select(
             "probe_id", "region_id", "rank", "dist6"
         )
+
+    def q_polyline_crossings(spark, sf):
+        """Edge-vs-edge join: which polylines cross which region
+        boundaries (S2EdgeIndex candidate shape + robustCrossing)."""
+        from s2_geometry_library_php_spark.operators.polyline_join import (
+            polyline_region_crossing_join,
+        )
+
+        return polyline_region_crossing_join(
+            spark, CROSSING_POLYLINES, region_fixtures()
+        ).select("line_id", "region_id", "n_crossings")
 
     def q_region_measures(spark, sf):
         """Loop/polygon area + true centroid as a native-SQL triangle
@@ -837,6 +857,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn": q_knn,
         "knn_regions": q_knn_regions,
         "region_measures": q_region_measures,
+        "polyline_crossings": q_polyline_crossings,
         "exact_dedup": q_exact_dedup,
         "minhash_pairs": q_minhash_pairs,
         "simhash": q_simhash,
@@ -994,6 +1015,21 @@ def _kernel_oracles() -> dict[str, str]:
             ("region_id", "BIGINT"),
             ("rank", "BIGINT"),
             ("dist6", "DOUBLE"),
+        ],
+    )
+
+    # polyline x region-boundary crossings: brute all-pairs oracle (no
+    # covering machinery -> certifies candidate completeness too)
+    from s2_geometry_library_php_spark.operators.polyline_join import (
+        polyline_region_crossings_numpy,
+    )
+
+    _ORACLE_CACHE["polyline_crossings"] = _values_sql(
+        polyline_region_crossings_numpy(CROSSING_POLYLINES, region_fixtures()),
+        [
+            ("line_id", "BIGINT"),
+            ("region_id", "BIGINT"),
+            ("n_crossings", "BIGINT"),
         ],
     )
 

@@ -170,3 +170,205 @@ def polyline_project_join(
         F.col("_p.proj_lat").alias("proj_lat"),
         F.col("_p.proj_lon").alias("proj_lon"),
     )
+
+
+# --- edge-vs-edge crossing join (S2EdgeIndex probe shape) ---------------------------
+def _ancestors(cell: int) -> list[int]:
+    """cell + every proper ancestor up to the face (driver-side)."""
+    out = [cell]
+    c = cell
+    while _lvl(c) > 0:
+        c = _parent1_int(c)
+        out.append(c)
+    return out
+
+
+def _parent1_int(c: int) -> int:
+    lsb = c & (-c & 0xFFFFFFFFFFFFFFFF)
+    nl = lsb << 2
+    return (c & (~(nl - 1)) & 0xFFFFFFFFFFFFFFFF) | nl
+
+
+def polyline_region_crossing_join(
+    spark: SparkSession,
+    polylines: list[dict],
+    region_specs: list[dict],
+) -> DataFrame:
+    """Which polylines cross which region BOUNDARIES — the full
+    ``S2EdgeIndex::findCandidateCrossings`` probe shape
+    (S2EdgeIndex.php:225-244): cover each query edge, collect edges
+    indexed in PARENT cells (getEdgesInParentCells) and in DESCENDANT
+    cells (getEdgesInChildrenCells), refine with ``robustCrossing``.
+
+    Distributed realization: region boundary edges (dimension-sized)
+    are covered driver-side and broadcast twice — once as raw covering
+    cells, once expanded to their ancestor chains.  Polyline edges (the
+    data side) explode their covering cells; candidate pairs come from
+    the UNION of two hash equi-joins:
+
+      * polyline ancestor-chain keys  vs  raw region cells
+        (region cell is equal-or-descendant of a polyline cell), and
+      * raw polyline cells  vs  region ancestor-chain keys
+        (polyline cell is descendant of a region cell).
+
+    Both arms are pure equi-joins — no range probe, no nested loop;
+    expanding each side's own ancestor CHAIN (<= 30 cells) never
+    explodes the way expanding subtrees would.  Output: (line_id,
+    region_id, n_crossings) for pairs with >= 1 proper crossing.
+
+    Only loop/polygon regions participate (caps/rects have no
+    boundary vertex chain)."""
+    from ..s2core.edges import edge_covering
+    from ..s2core.region import region_from_params
+
+    # --- broadcast side: region boundary edges + coverings -------------------
+    redge_rows = []  # (region_id, redge, cx, cy, cz, dx, dy, dz)
+    rcell_raw = []  # (region_id, redge, cell)
+    rcell_anc = []  # (region_id, redge, cell)
+    for spec in region_specs:
+        if spec["kind"] not in ("loop", "polygon"):
+            continue
+        rid = int(spec["region_id"])
+        reg = region_from_params(
+            spec["kind"], spec["params"], spec.get("loop_offsets")
+        )
+        loops = [reg] if spec["kind"] == "loop" else reg.loops
+        redge = 0
+        for lp in loops:
+            verts = lp.vertices
+            m = len(verts)
+            for i in range(m):
+                c, d = verts[i], verts[(i + 1) % m]
+                redge_rows.append(
+                    (rid, redge, *[float(x) for x in c], *[float(x) for x in d])
+                )
+                cov, _ = edge_covering(c, d)
+                for cell in cov:
+                    rcell_raw.append((rid, redge, _sig(cell)))
+                    for anc in _ancestors(cell):
+                        rcell_anc.append((rid, redge, _sig(anc)))
+                redge += 1
+    redges = spark.createDataFrame(
+        redge_rows,
+        "region_id long, redge long, cx double, cy double, cz double, "
+        "dx double, dy double, dz double",
+    )
+    raw_df = spark.createDataFrame(
+        rcell_raw, "region_id long, redge long, rcell long"
+    ).distinct()
+    anc_df = spark.createDataFrame(
+        rcell_anc, "region_id long, redge long, rcell long"
+    ).distinct()
+
+    # --- data side: polyline edges + coverings -------------------------------
+    ledge_rows = []  # (line_id, ledge, ax..bz, cells, anc_cells)
+    for spec in polylines:
+        lid = int(spec["line_id"])
+        v = np.asarray(spec["vertices"], dtype=np.float64)
+        verts = geom.normalize(
+            geom.latlng_to_xyz(np.radians(v[:, 0]), np.radians(v[:, 1]))
+        )
+        for k in range(len(verts) - 1):
+            a, b = verts[k], verts[k + 1]
+            cov, _ = edge_covering(a, b)
+            anc = sorted({x for c in cov for x in _ancestors(c)})
+            ledge_rows.append(
+                (
+                    lid, k,
+                    *[float(x) for x in a], *[float(x) for x in b],
+                    [_sig(c) for c in cov],
+                    [_sig(c) for c in anc],
+                )
+            )
+    ledges = spark.createDataFrame(
+        ledge_rows,
+        "line_id long, ledge long, ax double, ay double, az double, "
+        "bx double, by double, bz double, cells array<long>, "
+        "anc_cells array<long>",
+    )
+
+    # --- candidate generation: two equi-join arms ---------------------------
+    key_cols = ["line_id", "ledge", "region_id", "redge"]
+    arm_parent = (
+        ledges.select("line_id", "ledge", F.explode("anc_cells").alias("k"))
+        .join(F.broadcast(raw_df), F.col("k") == F.col("rcell"), "inner")
+        .select(*key_cols)
+    )
+    arm_child = (
+        ledges.select("line_id", "ledge", F.explode("cells").alias("k"))
+        .join(F.broadcast(anc_df), F.col("k") == F.col("rcell"), "inner")
+        .select(*key_cols)
+    )
+    cand = arm_parent.unionByName(arm_child).distinct()
+
+    # --- refine: vectorized robustCrossing ----------------------------------
+    pairs = cand.join(
+        ledges.select(
+            "line_id", "ledge", "ax", "ay", "az", "bx", "by", "bz"
+        ),
+        ["line_id", "ledge"],
+    ).join(F.broadcast(redges), ["region_id", "redge"])
+
+    @F.pandas_udf(BooleanType())
+    def crosses(*cols: pd.Series) -> pd.Series:
+        if len(cols[0]) == 0:
+            return pd.Series([], dtype=bool)
+        m = [c.to_numpy(np.float64) for c in cols]
+        a = np.stack(m[0:3], axis=1)
+        b = np.stack(m[3:6], axis=1)
+        c_ = np.stack(m[6:9], axis=1)
+        d = np.stack(m[9:12], axis=1)
+        return pd.Series(geom.robust_crossing_vec(a, b, c_, d) > 0)
+
+    hit = pairs.where(
+        crosses(
+            F.col("ax"), F.col("ay"), F.col("az"),
+            F.col("bx"), F.col("by"), F.col("bz"),
+            F.col("cx"), F.col("cy"), F.col("cz"),
+            F.col("dx"), F.col("dy"), F.col("dz"),
+        )
+    )
+    return hit.groupBy("line_id", "region_id").agg(
+        F.count(F.lit(1)).alias("n_crossings")
+    )
+
+
+def polyline_region_crossings_numpy(
+    polylines: list[dict], region_specs: list[dict]
+) -> list[tuple]:
+    """Brute-force oracle: every polyline edge x every region boundary
+    edge through the scalar robust_crossing kernel — no covering
+    machinery, so a green match also certifies candidate
+    COMPLETENESS of the two-arm covering join."""
+    from ..s2core.region import region_from_params
+
+    out = []
+    for spec in polylines:
+        lid = int(spec["line_id"])
+        v = np.asarray(spec["vertices"], dtype=np.float64)
+        verts = geom.normalize(
+            geom.latlng_to_xyz(np.radians(v[:, 0]), np.radians(v[:, 1]))
+        )
+        for rspec in region_specs:
+            if rspec["kind"] not in ("loop", "polygon"):
+                continue
+            reg = region_from_params(
+                rspec["kind"], rspec["params"], rspec.get("loop_offsets")
+            )
+            loops = [reg] if rspec["kind"] == "loop" else reg.loops
+            n = 0
+            for lp in loops:
+                rv = lp.vertices
+                m = len(rv)
+                for k in range(len(verts) - 1):
+                    for i in range(m):
+                        if (
+                            geom.robust_crossing(
+                                verts[k], verts[k + 1], rv[i], rv[(i + 1) % m]
+                            )
+                            > 0
+                        ):
+                            n += 1
+            if n > 0:
+                out.append((lid, int(rspec["region_id"]), n))
+    return out

@@ -240,6 +240,42 @@ def robust_crossing(a, b, c, d) -> int:
     return 1 if dac == acb else -1
 
 
+def robust_crossing_vec(
+    a: np.ndarray, b: np.ndarray, c: np.ndarray, d: np.ndarray
+) -> np.ndarray:
+    """Vectorized robustCrossing over row-aligned edge pairs
+    (N,3)x4 -> (N,) int8 in {-1, 0, 1}: fast determinant signs in one
+    pass, scalar exact fallback only on rows with any determinant
+    inside the uncertainty band (the same tiering as
+    loop_contains_points)."""
+    a, b, c, d = np.broadcast_arrays(
+        np.atleast_2d(a), np.atleast_2d(b), np.atleast_2d(c), np.atleast_2d(d)
+    )
+    ab = np.cross(a, b)
+    cd_ = np.cross(c, d)
+    det_c = dot(ab, c)
+    det_d = dot(ab, d)
+    det_b = dot(cd_, b)
+    det_a = dot(cd_, a)
+    acb = -np.sign(det_c).astype(np.int8)
+    bda = np.sign(det_d).astype(np.int8)
+    cbd = -np.sign(det_b).astype(np.int8)
+    dac = np.sign(det_a).astype(np.int8)
+    out = np.full(a.shape[:-1], -1, dtype=np.int8)
+    out[(acb == 0) | (bda == 0) | (cbd == 0) | (dac == 0)] = 0
+    crossing = (bda == acb) & (cbd == acb) & (dac == acb) & (acb != 0)
+    out[crossing] = 1
+    uncertain = (
+        (np.abs(det_c) <= CCW_THRESHOLD)
+        | (np.abs(det_d) <= CCW_THRESHOLD)
+        | (np.abs(det_b) <= CCW_THRESHOLD)
+        | (np.abs(det_a) <= CCW_THRESHOLD)
+    )
+    for i in np.nonzero(uncertain)[0]:
+        out[i] = robust_crossing(a[i], b[i], c[i], d[i])
+    return out
+
+
 def vertex_crossing(a, b, c, d) -> bool:
     """Shared-vertex crossing rule (S2EdgeUtil.php:136-164)."""
     if _points_equal(a, b) or _points_equal(c, d):

@@ -139,3 +139,63 @@ def test_polyline_interpolate_project_roundtrip():
     )
     assert np.allclose(d, brute, atol=1e-15)
     assert np.allclose(geom.angle_between(pts, cp), d, atol=1e-9)
+
+
+def test_robust_crossing_vec_matches_scalar():
+    import numpy as np
+
+    from s2_geometry_library_php_spark.s2core import geom
+
+    rng = np.random.default_rng(23)
+    pts = geom.normalize(rng.standard_normal((400, 3)))
+    a, b, c, d = pts[:100], pts[100:200], pts[200:300], pts[300:400]
+    vec = geom.robust_crossing_vec(a, b, c, d)
+    for i in range(100):
+        assert vec[i] == geom.robust_crossing(a[i], b[i], c[i], d[i])
+    # shared-vertex rows (degenerate-adjacent) also agree
+    vec2 = geom.robust_crossing_vec(a, b, b, c)
+    for i in range(100):
+        assert vec2[i] == geom.robust_crossing(a[i], b[i], b[i], c[i])
+
+
+def test_polyline_region_crossing_join_counts(spark):
+    """The covering-join crossing counts equal the brute-force kernel
+    on a polyline that enters a quad loop through its west meridian
+    edge and ends inside (odd parity => exactly one crossing)."""
+    from s2_geometry_library_php_spark.operators.polyline_join import (
+        polyline_region_crossing_join,
+        polyline_region_crossings_numpy,
+    )
+
+    lines = [dict(line_id=1, vertices=[[42.0, -77.0], [42.0, -72.0]])]
+    regions = [
+        dict(
+            region_id=7,
+            kind="loop",
+            params=[40.0, -75.0, 40.0, -70.0, 45.0, -70.0, 45.0, -75.0],
+            loop_offsets=None,
+        )
+    ]
+    got = {
+        (r.line_id, r.region_id): r.n_crossings
+        for r in polyline_region_crossing_join(spark, lines, regions).collect()
+    }
+    want = {
+        (lid, rid): n
+        for lid, rid, n in polyline_region_crossings_numpy(lines, regions)
+    }
+    assert got == want == {(1, 7): 1}
+
+    # a line that passes fully through crosses twice
+    through = [dict(line_id=2, vertices=[[42.0, -77.0], [42.0, -68.0]])]
+    got2 = {
+        (r.line_id, r.region_id): r.n_crossings
+        for r in polyline_region_crossing_join(
+            spark, through, regions
+        ).collect()
+    }
+    want2 = {
+        (lid, rid): n
+        for lid, rid, n in polyline_region_crossings_numpy(through, regions)
+    }
+    assert got2 == want2 == {(2, 7): 2}
