@@ -146,8 +146,10 @@ DIST_PROBE = (48.8566, 2.3522)
 
 # Shared SQL text (valid in BOTH Spark SQL and DuckDB) for the
 # dual-SQL oracles; `e0` suffixes force DOUBLE literals in both.
+E5_SQL = "CAST(round(lat * 1e5) AS BIGINT)"
 E6_SQL = "CAST(round(lat * 1e6) AS BIGINT)"
 E7_SQL = "CAST(round(lon * 1e7) AS BIGINT)"
+E5_BACK_SQL = f"{E5_SQL} / 1e5"
 E6_BACK_SQL = f"{E6_SQL} / 1e6"
 E7_BACK_SQL = f"{E7_SQL} / 1e7"
 RECT_PREDICATES = [
@@ -685,8 +687,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         d = _docs(spark, sf)
         return d.select(
             "doc_id",
+            F.expr(E5_SQL).alias("lat_e5"),
             F.expr(E6_SQL).alias("lat_e6"),
             F.expr(E7_SQL).alias("lon_e7"),
+            F.expr(E5_BACK_SQL).alias("lat5"),
             F.expr(E6_BACK_SQL).alias("lat6"),
             F.expr(E7_BACK_SQL).alias("lon7"),
         )
@@ -1474,7 +1478,8 @@ FROM rev
     )
     out["e6_roundtrip"] = (
         f"WITH d AS ({geocode_cte}) "
-        f"SELECT doc_id, {E6_SQL} AS lat_e6, {E7_SQL} AS lon_e7, "
+        f"SELECT doc_id, {E5_SQL} AS lat_e5, {E6_SQL} AS lat_e6, "
+        f"{E7_SQL} AS lon_e7, {E5_BACK_SQL} AS lat5, "
         f"{E6_BACK_SQL} AS lat6, {E7_BACK_SQL} AS lon7 FROM d"
     )
 

@@ -411,6 +411,34 @@ def prev_cell(ids: np.ndarray) -> np.ndarray:
     return ids - (lowest_on_bit(ids) << _ONE)
 
 
+# wrap offset = 6 faces << 61: one past the last valid id at any level
+# (S2CellId.php:406-436)
+WRAP_OFFSET = np.uint64(6) << np.uint64(61)
+
+
+def next_wrap(ids: np.ndarray) -> np.ndarray:
+    """next() wrapping from the last face back to the first
+    (S2CellId.php:406-420).  Do not mix with child_begin/child_end
+    iteration."""
+    n = next_cell(ids)
+    return np.where(n < WRAP_OFFSET, n, n - WRAP_OFFSET)
+
+
+def prev_wrap(ids: np.ndarray) -> np.ndarray:
+    """prev() wrapping from the first face back to the last
+    (S2CellId.php:422-436)."""
+    p = prev_cell(ids)
+    return np.where(p < WRAP_OFFSET, p, p + WRAP_OFFSET)
+
+
+def child_position(ids: np.ndarray, level) -> np.ndarray:
+    """Which child (0..3) of the level-(k-1) ancestor contains the id
+    (S2CellId.php:274-276)."""
+    ids = np.asarray(ids, dtype=np.uint64)
+    shift = np.uint64(2 * (MAX_LEVEL - int(level)) + 1)
+    return ((ids >> shift) & np.uint64(3)).astype(np.int64)
+
+
 # --- tokens (S2CellId.php:462-512) -------------------------------------------
 def token_from_id(ids: np.ndarray) -> list[str]:
     """Hex of the unsigned id, trailing zeros stripped; id 0 -> 'X'."""

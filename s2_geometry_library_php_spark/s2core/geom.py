@@ -394,6 +394,29 @@ def loop_origin_inside(vertices: np.ndarray) -> bool:
     return v1_inside != contains_v1
 
 
+# --- vertex angles (S2.angle / S2.turnAngle / S2.approxEquals) -----------------------
+def vertex_angle(a: np.ndarray, b: np.ndarray, c: np.ndarray) -> np.ndarray:
+    """Interior angle at vertex B of triangle ABC: angle between the
+    great-circle normals of BA and BC (S2.php:764-766)."""
+    return angle_between(np.cross(a, b), np.cross(c, b))
+
+
+def turn_angle(a: np.ndarray, b: np.ndarray, c: np.ndarray) -> float:
+    """Exterior (turn) angle at vertex B walking A->B->C: positive for
+    a left turn (CCW), negative right (S2.php:778-786); satisfies
+    turnAngle(a,b,c) == -turnAngle(c,b,a)."""
+    out_angle = float(angle_between(np.cross(b, a), np.cross(c, b)))
+    return out_angle if robust_ccw(a, b, c) > 0 else -out_angle
+
+
+def approx_equals(a, b, max_error: float = 1e-15) -> bool:
+    """Angle-or-scalar approximate equality (S2.php:795-809)."""
+    a_arr = np.asarray(a, dtype=np.float64)
+    if a_arr.ndim >= 1 and a_arr.shape[-1] == 3:
+        return float(angle_between(a_arr, np.asarray(b, dtype=np.float64))) <= max_error
+    return abs(float(a) - float(b)) <= max_error
+
+
 # --- area + true centroid (S2.signedArea / S2.trueCentroid) --------------------------
 def true_centroid_vec(
     a: np.ndarray, b: np.ndarray, c: np.ndarray

@@ -559,3 +559,54 @@ def test_ingest_validation_rejects_bad_geometry():
     )
     ok, why = polygon_is_valid(shell_hole.loops)
     assert ok and why == ""
+
+
+def test_keyspace_wrap_and_child_position():
+    import math
+
+    # nextWrap cycles the 6 face cells back to the start
+    faces = cid.parent(
+        cid.cell_id_from_latlng_degrees(np.array([0.0]), np.array([0.0])), 0
+    )
+    c = faces
+    seen = [int(c[0])]
+    for _ in range(6):
+        c = cid.next_wrap(c)
+        seen.append(int(c[0]))
+    assert seen[6] == seen[0]  # full cycle over the 6 faces
+    assert len(set(seen[:6])) == 6
+    # prevWrap inverts nextWrap everywhere (random leaf sample)
+    rng = np.random.default_rng(3)
+    leafs = cid.cell_id_from_latlng_degrees(
+        rng.uniform(-89, 89, 64), rng.uniform(-179, 179, 64)
+    )
+    for lvl in (0, 5, 17, 30):
+        cells = cid.parent(leafs, lvl)
+        assert np.array_equal(cid.prev_wrap(cid.next_wrap(cells)), cells)
+        assert np.array_equal(cid.next_wrap(cid.prev_wrap(cells)), cells)
+    # childPosition reconstructs the id from parents
+    ids = cid.parent(leafs, 20)
+    for lvl in range(1, 21):
+        pos = cid.child_position(ids, lvl)
+        par = cid.parent(ids, lvl - 1)
+        stepped = cid.child_begin(par)
+        lsb20 = cid.lowest_on_bit(stepped)
+        stepped = stepped + (lsb20 << np.uint64(1)) * pos.astype(np.uint64)
+        assert np.array_equal(cid.parent(ids, lvl), stepped)
+    _ = math
+
+
+def test_turn_angle_antisymmetry_and_angle():
+    rng = np.random.default_rng(17)
+    pts = geom.normalize(rng.standard_normal((60, 3)))
+    for i in range(0, 60, 3):
+        a, b, c = pts[i], pts[i + 1], pts[i + 2]
+        t1 = geom.turn_angle(a, b, c)
+        t2 = geom.turn_angle(c, b, a)
+        assert abs(t1 + t2) < 1e-12
+        # |turn| = pi - interior angle
+        interior = float(geom.vertex_angle(a, b, c))
+        assert abs(abs(t1) - abs(np.pi - interior)) < 1e-9
+    assert geom.approx_equals(pts[0], pts[0])
+    assert geom.approx_equals(1.0, 1.0 + 1e-16)
+    assert not geom.approx_equals(pts[0], -pts[0])
