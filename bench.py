@@ -47,23 +47,29 @@ def _run_suite(spark, sf_dir: str) -> tuple[dict, dict]:
     cold: dict[str, float] = {}
     extras: dict[str, float] = {}
 
+    medians: dict[str, float] = {}
+
     def timed(name: str, fn):
         # Warm-up run first (python-worker spawn, codegen JIT, GC
-        # ramp all land here), then the MIN of two steady-state runs —
-        # the sandbox host has bursty external interference (see
-        # BASELINE.md host characterization), and min over repeats is
-        # the noise-free estimator of the cost that projects to a
-        # long-running cluster job.
+        # ramp all land here), then THREE steady-state runs.  Headline
+        # = min (the sandbox host has bursty external interference —
+        # see BASELINE.md host characterization — and min over repeats
+        # estimates the noise-free intrinsic cost that projects to a
+        # long-running cluster job); median recorded alongside so the
+        # noise level itself is visible round-over-round.
+        import statistics
+
         t0 = time.time()
         fn()
         cold[name] = round(time.time() - t0, 3)
-        best = None
-        for _ in range(2):
+        samples = []
+        out = None
+        for _ in range(3):
             t0 = time.time()
             out = fn()
-            el = time.time() - t0
-            best = el if best is None or el < best else best
-        timings[name] = round(best, 3)
+            samples.append(time.time() - t0)
+        timings[name] = round(min(samples), 3)
+        medians[name] = round(statistics.median(samples), 3)
         return out
 
     # The sf0.1 corpus is only ~5k documents — far too small to
@@ -179,6 +185,12 @@ def _run_suite(spark, sf_dir: str) -> tuple[dict, dict]:
 
     extras["n_docs"] = n_docs
     extras["cold_sec"] = cold
+    extras["median_sec"] = medians
+    extras["methodology"] = (
+        "per-query: 1 warm-up + min of 3 steady-state samples "
+        "(median_sec supplementary); scaling: interleaved sessions, "
+        "median headline + min supplementary"
+    )
     return timings, extras
 
 

@@ -232,6 +232,38 @@ class LatLngRect:
     def full_lat() -> R1Interval:
         return R1Interval(-M_PI_2, M_PI_2)
 
+    @staticmethod
+    def from_point_pair(
+        lat1: float, lng1: float, lat2: float, lng2: float
+    ) -> "LatLngRect":
+        """Minimal rect containing two latlng points (radians)
+        (S2LatLngRect.php:74-77): shortest-arc lng interval."""
+        return LatLngRect(
+            R1Interval.from_point_pair(lat1, lat2),
+            S1Interval.from_point_pair(lng1, lng2),
+        )
+
+    @staticmethod
+    def from_edge(a: np.ndarray, b: np.ndarray) -> "LatLngRect":
+        """Rect containing the geodesic edge AB — wider than the
+        endpoint rect when the latitude extremum lies in the edge
+        interior (S2LatLngRect.php:84-112)."""
+        a_lat, a_lng = geom.xyz_to_latlng(a)
+        b_lat, b_lng = geom.xyz_to_latlng(b)
+        r = LatLngRect.from_point_pair(
+            float(a_lat), float(a_lng), float(b_lat), float(b_lng)
+        )
+        ab = geom.robust_cross_prod(a, b)
+        direction = np.cross(ab, np.array([0.0, 0.0, 1.0]))
+        da = float(np.dot(direction, a))
+        db = float(np.dot(direction, b))
+        if da * db >= 0:
+            return r  # extremum at a vertex
+        abs_lat = math.acos(abs(float(ab[2]) / float(np.linalg.norm(ab))))
+        if da < 0:
+            return LatLngRect(R1Interval(r.lat.lo, abs_lat), r.lng)
+        return LatLngRect(R1Interval(-abs_lat, r.lat.hi), r.lng)
+
     def is_empty(self) -> bool:
         return self.lat.is_empty()
 

@@ -418,6 +418,12 @@ def approx_equals(a, b, max_error: float = 1e-15) -> bool:
 
 
 # --- area + true centroid (S2.signedArea / S2.trueCentroid) --------------------------
+def planar_centroid(a: np.ndarray, b: np.ndarray, c: np.ndarray) -> np.ndarray:
+    """Centroid of the planar triangle ABC (S2.php:413-415); normalize
+    to get the surface centroid of the spherical triangle."""
+    return (np.asarray(a) + np.asarray(b) + np.asarray(c)) / 3.0
+
+
 def true_centroid_vec(
     a: np.ndarray, b: np.ndarray, c: np.ndarray
 ) -> np.ndarray:

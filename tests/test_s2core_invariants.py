@@ -610,3 +610,32 @@ def test_turn_angle_antisymmetry_and_angle():
     assert geom.approx_equals(pts[0], pts[0])
     assert geom.approx_equals(1.0, 1.0 + 1e-16)
     assert not geom.approx_equals(pts[0], -pts[0])
+
+
+def test_rect_from_edge_covers_edge_interior():
+    import math
+
+    from s2_geometry_library_php_spark.s2core.cell import LatLngRect
+
+    # east-west edge at lat 60: the geodesic bulges poleward, so the
+    # midpoint latitude EXCEEDS both endpoint latitudes
+    a = geom.latlng_to_xyz(np.radians(60.0), np.radians(-30.0))
+    b = geom.latlng_to_xyz(np.radians(60.0), np.radians(30.0))
+    r_pair = LatLngRect.from_point_pair(
+        math.radians(60.0), math.radians(-30.0),
+        math.radians(60.0), math.radians(30.0),
+    )
+    r_edge = LatLngRect.from_edge(a, b)
+    mid = geom.normalize((a + b) / 2.0)
+    mid_lat = float(geom.xyz_to_latlng(mid)[0])
+    assert not r_pair.lat.contains(mid_lat)  # endpoint rect misses it
+    assert r_edge.lat.contains(mid_lat)  # edge rect covers it
+    assert r_edge.contains_rect(r_pair)
+    # sampled edge points all inside the edge rect
+    for t in np.linspace(0, 1, 33):
+        p = geom.normalize((1 - t) * a + t * b)
+        la, ln = geom.xyz_to_latlng(p)
+        assert r_edge.contains_latlng(float(la), float(ln))
+    # planar centroid normalizes to the surface centroid direction
+    cen = geom.planar_centroid(a, b, geom.latlng_to_xyz(np.radians(65.0), np.radians(0.0)))
+    assert np.linalg.norm(cen) > 0
