@@ -125,6 +125,16 @@ def wedge_intersects(a0, ab1, a2, b0, b2) -> int:
     )
 
 
+def wedge_contains_or_intersects(a0, ab1, a2, b0, b2) -> int:
+    """+1 A contains B, 0 disjoint, -1 intersects-but-not-contains
+    (S2EdgeUtil.php:720-745)."""
+    if geom.ordered_ccw(a0, a2, b2, ab1):
+        return 1 if geom.ordered_ccw(b2, b0, a0, ab1) else -1
+    if not geom.ordered_ccw(a2, b0, b2, ab1):
+        return 0
+    return 0 if np.array_equal(a2, b0) else -1
+
+
 def wedge_contains_or_crosses(a0, ab1, a2, b0, b2) -> int:
     if geom.ordered_ccw(a0, a2, b2, ab1):
         if geom.ordered_ccw(b2, b0, a0, ab1):
@@ -280,6 +290,13 @@ def loop_is_normalized(vertices: np.ndarray) -> bool:
     sphere (S2Loop::isNormalized documented contract)."""
     area, _ = geom.loop_area_centroid(vertices)
     return area <= 2.0 * np.pi + 1e-6
+
+
+def loop_normalize(vertices: np.ndarray) -> np.ndarray:
+    """Invert the loop if it encloses more than half the sphere, so it
+    encloses at most 2*pi (S2Loop::normalize semantics): returns the
+    vertex chain, reversed when the signed fan area exceeds 2*pi."""
+    return vertices if loop_is_normalized(vertices) else vertices[::-1]
 
 
 def polygon_is_valid(loops: list) -> tuple[bool, str]:

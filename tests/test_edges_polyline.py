@@ -199,3 +199,47 @@ def test_polyline_region_crossing_join_counts(spark):
         for lid, rid, n in polyline_region_crossings_numpy(through, regions)
     }
     assert got2 == want2 == {(2, 7): 2}
+
+
+def test_wedge_contains_or_intersects_cases():
+    import numpy as np
+
+    from s2_geometry_library_php_spark.s2core import geom
+    from s2_geometry_library_php_spark.s2core.edges import (
+        loop_normalize,
+        wedge_contains_or_intersects,
+    )
+
+    def ll(lat, lng):
+        return geom.latlng_to_xyz(np.radians(lat), np.radians(lng))
+
+    b = ll(0.0, 0.0)  # shared wedge apex
+    # A spans a wide wedge, B a narrow sub-wedge -> contains (+1)
+    a0, a2 = ll(10.0, -10.0), ll(10.0, 10.0)
+    b0, b2 = ll(10.0, -3.0), ll(10.0, 3.0)
+    assert wedge_contains_or_intersects(a0, b, a2, b0, b2) == 1
+    # disjoint wedges -> 0
+    c0, c2 = ll(-10.0, 3.0), ll(-10.0, -3.0)
+    assert wedge_contains_or_intersects(a0, b, a2, c0, c2) == 0
+    # partial overlap -> -1
+    d0, d2 = ll(10.0, 3.0), ll(-10.0, 0.0)
+    assert wedge_contains_or_intersects(a0, b, a2, d0, d2) == -1
+
+    # loop_normalize inverts an over-hemisphere loop
+    big = np.asarray(
+        geom.normalize(
+            geom.latlng_to_xyz(
+                np.radians(np.array([-60.0, -60.0, -60.0, -60.0])),
+                np.radians(np.array([0.0, 90.0, 180.0, -90.0])),
+            )
+        )
+    )  # CCW around the south pole viewed from inside => area > 2pi
+    area_big, _ = geom.loop_area_centroid(big)
+    if area_big > 2 * np.pi:
+        norm = loop_normalize(big)
+        area_n, _ = geom.loop_area_centroid(norm)
+        assert area_n <= 2 * np.pi + 1e-9
+    else:
+        norm = loop_normalize(big[::-1])
+        area_n, _ = geom.loop_area_centroid(norm)
+        assert area_n <= 2 * np.pi + 1e-9
