@@ -466,6 +466,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "query_id", "n_candidates", "recall6"
         )
 
+    def q_embedding_near_dup(spark, sf):
+        """Embedding-cosine near-dup pairs via the LSH-bucketed
+        self-join (deterministic; numpy-twin oracle)."""
+        from s2_geometry_library_php_spark.operators.similarity import (
+            embedding_near_dup_pairs,
+        )
+
+        emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+        return embedding_near_dup_pairs(emb, threshold=0.4).select(
+            "id_a", "id_b", "cosine6"
+        )
+
     def q_events_hourly(spark, sf):
         ev = spark.read.parquet(f"{sf}/events.parquet")
         return ev.groupBy(
@@ -873,6 +885,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_topk": q_ann_cosine,
         "ann_lsh_topk": q_ann_lsh,
         "ann_lsh_recall": q_ann_lsh_recall,
+        "embedding_near_dup": q_embedding_near_dup,
         "cell_union_normalize": q_cell_union,
         "cell_intersection": q_cell_intersection,
         "region_expand": q_region_expand,
@@ -1309,6 +1322,15 @@ def _kernel_oracles() -> dict[str, str]:
             ("n_candidates", "BIGINT"),
             ("recall6", "DOUBLE"),
         ],
+    )
+
+    from s2_geometry_library_php_spark.operators.similarity import (
+        near_dup_numpy_twin,
+    )
+
+    _ORACLE_CACHE["embedding_near_dup"] = _values_sql(
+        near_dup_numpy_twin(eids, evecs, 0.4),
+        [("id_a", "BIGINT"), ("id_b", "BIGINT"), ("cosine6", "DOUBLE")],
     )
 
     # multimodal (deterministic fake features, same python)

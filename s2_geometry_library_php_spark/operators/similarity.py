@@ -196,6 +196,116 @@ def ann_lsh_topk(
     )
 
 
+def embedding_near_dup_pairs(
+    embeddings: DataFrame,
+    threshold: float = 0.4,
+    dim: int = 64,
+    n_planes: int = 10,
+    n_tables: int = 16,
+    n_flip: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: corpus SELF-join on LSH
+    buckets (never all-pairs), exact cosine >= threshold on the
+    candidates.  One side expands its buckets by Hamming-1 flips, so a
+    pair is a candidate iff some table puts them within Hamming
+    distance ``n_flip`` — the standard banding shape whose shuffle is
+    keyed on (table, bucket), not N².
+
+    Approximate by design (a pair missed by every table is not
+    emitted) but fully DETERMINISTIC: seeded hyperplanes + rounded
+    cosine, so the numpy twin reproduces the result row-for-row.
+    Output: (id_a, id_b, cosine6)."""
+    buckets = lsh_bucket_udf(dim, n_planes, n_tables)
+    banded = embeddings.withColumn("_b", buckets(F.col(vec_col))).select(
+        id_col, vec_col, F.posexplode("_b").alias("_table", "_bucket")
+    )
+    flips = [0] + ([1 << i for i in range(n_planes)] if n_flip >= 1 else [])
+    if n_flip >= 2:
+        flips += [
+            (1 << i) | (1 << j)
+            for i in range(n_planes)
+            for j in range(i + 1, n_planes)
+        ]
+    probe = banded.select(
+        F.col(id_col).alias("_ida"),
+        F.col(vec_col).alias("_va"),
+        "_table",
+        F.explode(
+            F.array(*[F.col("_bucket").bitwiseXOR(F.lit(m)) for m in flips])
+        ).alias("_probe"),
+    )
+    right = banded.select(
+        F.col(id_col).alias("_idb"),
+        F.col(vec_col).alias("_vb"),
+        F.col("_table").alias("_tableb"),
+        "_bucket",
+    )
+    cand = probe.join(
+        right,
+        (F.col("_table") == F.col("_tableb"))
+        & (F.col("_probe") == F.col("_bucket"))
+        & (F.col("_ida") < F.col("_idb")),
+    )
+    sim = cosine_similarity_col(
+        F.transform(F.col("_va"), lambda x: x.cast("double")),
+        F.transform(F.col("_vb"), lambda x: x.cast("double")),
+    ).alias("cosine6")
+    return (
+        cand.select(
+            F.col("_ida").alias("id_a"), F.col("_idb").alias("id_b"), sim
+        )
+        .where(F.col("cosine6") >= threshold)
+        .groupBy("id_a", "id_b")
+        .agg(F.max("cosine6").alias("cosine6"))
+    )
+
+
+def near_dup_numpy_twin(
+    ids: np.ndarray,
+    vecs: np.ndarray,
+    threshold: float = 0.4,
+    n_planes: int = 10,
+    n_tables: int = 16,
+    n_flip: int = 1,
+) -> list[tuple]:
+    """Numpy twin of :func:`embedding_near_dup_pairs`: a pair is a
+    candidate iff some table has Hamming(bucket_i, bucket_j) <=
+    n_flip; exact rounded cosine filters."""
+    vecs32 = np.asarray(vecs, dtype=np.float32)
+    dim = vecs32.shape[1]
+    weights = (1 << np.arange(n_planes)).astype(np.int64)
+    buckets = np.empty((len(ids), n_tables), dtype=np.int64)
+    for t in range(n_tables):
+        signs = (vecs32 @ _hyperplanes(dim, n_planes, t).T) > 0
+        buckets[:, t] = signs @ weights
+    vecs64 = vecs32.astype(np.float64)
+    norms = np.sqrt((vecs64 * vecs64).sum(axis=1))
+    out = []
+    n = len(ids)
+    # vectorized per-table Hamming: popcount of xor <= n_flip
+    cand = np.zeros((n, n), dtype=bool)
+    for t in range(n_tables):
+        x = buckets[:, t][:, None] ^ buckets[:, t][None, :]
+        pop = np.zeros_like(x)
+        v = x.copy()
+        while np.any(v):
+            pop += v & 1
+            v >>= 1
+        cand |= pop <= n_flip
+    iu = np.triu_indices(n, k=1)
+    for i, j in zip(*iu):
+        if not cand[i, j]:
+            continue
+        cos = round(
+            float(vecs64[i] @ vecs64[j] / (norms[i] * norms[j])), ROUND
+        )
+        if cos >= threshold:
+            out.append((int(ids[i]), int(ids[j]), cos))
+    return out
+
+
 def lsh_numpy_twin(
     ids: np.ndarray,
     vecs: np.ndarray,

@@ -452,3 +452,33 @@ def test_hilbert_writer_clusters_across_files(spark, docs, tmp_path):
     ranges.sort()
     for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
         assert hi1 < lo2  # disjoint keyspace slices => file-level pruning
+
+
+def test_embedding_near_dup_recall(spark):
+    """LSH near-dup self-join vs brute threshold pairs: precision is 1
+    by construction (exact cosine verify); recall floor asserted for
+    the Hamming-1 multi-probe config on the near-random corpus."""
+    import numpy as np
+
+    from s2_geometry_library_php_spark.operators.similarity import (
+        embedding_near_dup_pairs,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    got = {
+        (r.id_a, r.id_b)
+        for r in embedding_near_dup_pairs(emb, threshold=0.4).collect()
+    }
+    pdf = emb.toPandas()
+    vecs = np.stack(pdf.embedding.to_numpy()).astype(np.float64)
+    ids = pdf.vec_id.to_numpy()
+    n = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    sims = np.round(n @ n.T, 6)
+    iu = np.triu_indices(len(ids), k=1)
+    truth = {
+        (int(min(ids[i], ids[j])), int(max(ids[i], ids[j])))
+        for i, j in zip(*iu)
+        if sims[i, j] >= 0.4
+    }
+    assert got <= truth  # exact verify => no false positives
+    assert len(got) / len(truth) >= 0.6, (len(got), len(truth))
