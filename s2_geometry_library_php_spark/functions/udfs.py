@@ -122,3 +122,83 @@ def s2_vertex_neighbors_udf(cell_id: pd.Series, level: pd.Series) -> pd.Series:
         nbrs = cid.vertex_neighbors(int(ids[k]), int(lv[k]))
         out.append([int(cid.to_signed(np.asarray([n], np.uint64))[0]) for n in nbrs])
     return pd.Series(out)
+
+
+# --- region-predicate native columns (SURVEY §2.11 API surface) ---------------------
+def s2_cap_contains_cols(lat, lon, axis_lat_deg, axis_lng_deg, angle_rad):
+    """Native-SQL cap containment (S2Cap.php:225-228 chord test,
+    closed semantics): ||p - axis||^2 <= 2*(1 - cos(angle)).  All
+    trig stays inside whole-stage codegen — the column twin of
+    Cap.contains_points."""
+    import math
+
+    ax = math.cos(math.radians(axis_lng_deg)) * math.cos(math.radians(axis_lat_deg))
+    ay = math.sin(math.radians(axis_lng_deg)) * math.cos(math.radians(axis_lat_deg))
+    az = math.sin(math.radians(axis_lat_deg))
+    h = 1.0 - math.cos(angle_rad)
+    lat_r, lon_r = F.radians(lat), F.radians(lon)
+    px = F.cos(lon_r) * F.cos(lat_r)
+    py = F.sin(lon_r) * F.cos(lat_r)
+    pz = F.sin(lat_r)
+    dx, dy, dz = px - F.lit(ax), py - F.lit(ay), pz - F.lit(az)
+    return (dx * dx + dy * dy + dz * dz) <= F.lit(2.0 * h)
+
+
+def s2_rect_contains_cols(lat, lon, lat_lo, lat_hi, lng_lo, lng_hi):
+    """Native-SQL rect containment with the S1Interval conventions:
+    degrees in, inverted (wrapping) lng intervals supported, lon=-180
+    remapped to +180 (S2LatLngRect.php:320-336)."""
+    lat_r = F.radians(lat)
+    lon_n = F.radians(
+        F.when(lon == F.lit(-180.0), F.lit(180.0)).otherwise(lon)
+    )
+    lat_ok = (lat_r >= F.lit(lat_lo)) & (lat_r <= F.lit(lat_hi))
+    if lng_lo > lng_hi:  # inverted interval wraps the antimeridian
+        lng_ok = (lon_n >= F.lit(lng_lo)) | (lon_n <= F.lit(lng_hi))
+    else:
+        lng_ok = (lon_n >= F.lit(lng_lo)) & (lon_n <= F.lit(lng_hi))
+    return lat_ok & lng_ok
+
+
+def make_loop_contains_udf(vertices_latlng_deg):
+    """Factory: a pandas UDF `f(lat, lon) -> bool` bound to one loop
+    (vertices broadcast in the closure) — the standalone surface of
+    the refine kernel for users who want a WHERE-clause predicate
+    instead of the covering join."""
+    v = np.asarray(vertices_latlng_deg, dtype=np.float64)
+    verts = geom.normalize(
+        geom.latlng_to_xyz(np.radians(v[:, 0]), np.radians(v[:, 1]))
+    )
+    origin_inside = geom.loop_origin_inside(verts)
+
+    from pyspark.sql.types import BooleanType
+
+    @F.pandas_udf(BooleanType())
+    def loop_contains(lat: pd.Series, lon: pd.Series) -> pd.Series:
+        if len(lat) == 0:
+            return pd.Series([], dtype=bool)
+        pts = geom.latlng_to_xyz(
+            np.radians(lat.to_numpy(np.float64)),
+            np.radians(lon.to_numpy(np.float64)),
+        )
+        return pd.Series(geom.loop_contains_points(verts, origin_inside, pts))
+
+    return loop_contains
+
+
+def register_sql_functions(spark) -> None:
+    """Register the §2.11 public API under SQL names so `spark.sql`
+    users get the same surface as the DataFrame API.  Integer bit ops
+    (s2_level/parent/range/token) additionally have pure-SQL text
+    twins in functions.sql_bitops for hot paths — these registrations
+    are the API-uniformity forms."""
+    spark.udf.register("s2_cell_id", s2_cell_id)
+    spark.udf.register("s2_token", s2_token_udf)
+    spark.udf.register("s2_id_from_token", s2_id_from_token_udf)
+    spark.udf.register("s2_cell_center_lat", s2_cell_center_lat)
+    spark.udf.register("s2_cell_center_lng", s2_cell_center_lng)
+    spark.udf.register("s2_edge_neighbors", s2_edge_neighbors_udf)
+    spark.udf.register("s2_all_neighbors", s2_all_neighbors_udf)
+    spark.udf.register("s2_vertex_neighbors", s2_vertex_neighbors_udf)
+    spark.udf.register("s2_cell_vertices", s2_cell_vertices_udf)
+    spark.udf.register("s2_distance", s2_distance_rad)

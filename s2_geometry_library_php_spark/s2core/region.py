@@ -351,6 +351,30 @@ def polygon_contains_polygon(a: PolygonRegion, b: PolygonRegion) -> bool:
     return True
 
 
+def polygon_intersects_polygon(a: PolygonRegion, b: PolygonRegion) -> bool:
+    """A and B share interior points (the S2Polygon.intersects
+    dispatch, S2Polygon.php:318-413): true iff some boundary edges
+    cross, or either polygon contains a vertex of the other (vertex
+    membership decides full-nesting cases once crossings are ruled
+    out — valid-polygon assumption, same as the reference)."""
+    from .edges import contains_or_crosses
+
+    # boundary-CROSSING test only (not interior-intersects: a loop
+    # nested in another's interior must fall through to the parity
+    # vertex tests, which correctly handle holes)
+    for alp in a.loops:
+        for blp in b.loops:
+            if contains_or_crosses(alp, blp) < 0:
+                return True
+    for blp in b.loops:
+        if bool(a.contains_points(blp.vertices[0:1])[0]):
+            return True
+    for alp in a.loops:
+        if bool(b.contains_points(alp.vertices[0:1])[0]):
+            return True
+    return False
+
+
 def region_from_params(
     kind: str,
     params: list[float],

@@ -639,3 +639,35 @@ def test_rect_from_edge_covers_edge_interior():
     # planar centroid normalizes to the surface centroid direction
     cen = geom.planar_centroid(a, b, geom.latlng_to_xyz(np.radians(65.0), np.radians(0.0)))
     assert np.linalg.norm(cen) > 0
+
+
+def test_polygon_intersects_polygon_cases():
+    from s2_geometry_library_php_spark.s2core.region import (
+        polygon_intersects_polygon,
+        region_from_params,
+    )
+
+    quad = lambda lat0, lng0, lat1, lng1: region_from_params(  # noqa: E731
+        "polygon", [lat0, lng0, lat0, lng1, lat1, lng1, lat1, lng0], [0]
+    )
+    a = quad(0.0, 0.0, 20.0, 20.0)
+    overlapping = quad(10.0, 10.0, 30.0, 30.0)
+    nested = quad(5.0, 5.0, 15.0, 15.0)
+    disjoint = quad(40.0, 40.0, 50.0, 50.0)
+    assert polygon_intersects_polygon(a, overlapping)
+    assert polygon_intersects_polygon(a, nested)
+    assert polygon_intersects_polygon(nested, a)
+    assert not polygon_intersects_polygon(a, disjoint)
+    # polygon entirely inside a donut's HOLE does not intersect it
+    donut = region_from_params(
+        "polygon",
+        [0.0, 0.0, 0.0, 30.0, 30.0, 30.0, 30.0, 0.0,
+         8.0, 8.0, 8.0, 22.0, 22.0, 22.0, 22.0, 8.0],
+        [0, 4],
+    )
+    in_hole = quad(12.0, 12.0, 18.0, 18.0)
+    in_ring = quad(2.0, 2.0, 6.0, 6.0)
+    assert not polygon_intersects_polygon(donut, in_hole)
+    assert not polygon_intersects_polygon(in_hole, donut)
+    assert polygon_intersects_polygon(donut, in_ring)
+    assert polygon_intersects_polygon(in_ring, donut)

@@ -482,3 +482,67 @@ def test_embedding_near_dup_recall(spark):
     }
     assert got <= truth  # exact verify => no false positives
     assert len(got) / len(truth) >= 0.6, (len(got), len(truth))
+
+
+def test_sql_registered_api_surface(spark, docs):
+    """spark.sql users get the same answers as the DataFrame/kernel
+    API once register_sql_functions has run."""
+    from s2_geometry_library_php_spark.functions.udfs import (
+        register_sql_functions,
+        s2_cap_contains_cols,
+        s2_rect_contains_cols,
+    )
+
+    register_sql_functions(spark)
+    docs.select("doc_id", "lat", "lon", "cell_id").limit(50).createOrReplaceTempView(
+        "api_docs"
+    )
+    rows = spark.sql(
+        """
+        SELECT doc_id, s2_cell_id(lat, lon) AS cid, s2_token(cell_id) AS tok,
+               s2_cell_center_lat(cell_id) AS clat,
+               s2_distance(lat, lon, 48.8566, 2.3522) AS d
+        FROM api_docs
+        """
+    ).collect()
+    for r in rows:
+        assert r.cid is not None and len(r.tok) >= 1 and -90 <= r.clat <= 90
+        assert 0 <= r.d <= np.pi
+    # native region predicates equal the kernels on the corpus
+    import math
+
+    from s2_geometry_library_php_spark.s2core.region import (
+        CapRegion,
+        RectRegion,
+    )
+
+    pdf = docs.select("doc_id", "lat", "lon").toPandas()
+    pts = geom.latlng_to_xyz(
+        np.radians(pdf.lat.to_numpy()), np.radians(pdf.lon.to_numpy())
+    )
+    cap = CapRegion(40.7128, -74.006, 500e3 / 6371e3)
+    rect_params = (
+        math.radians(-15.0), math.radians(15.0),
+        math.radians(170.0), math.radians(-170.0),
+    )
+    rect = RectRegion(*rect_params)
+    got_cap = {
+        r.doc_id
+        for r in docs.where(
+            s2_cap_contains_cols(
+                F.col("lat"), F.col("lon"), 40.7128, -74.006, 500e3 / 6371e3
+            )
+        ).select("doc_id").collect()
+    }
+    got_rect = {
+        r.doc_id
+        for r in docs.where(
+            s2_rect_contains_cols(F.col("lat"), F.col("lon"), *rect_params)
+        ).select("doc_id").collect()
+    }
+    assert got_cap == {
+        int(d) for d in pdf.doc_id.to_numpy()[cap.contains_points(pts)]
+    }
+    assert got_rect == {
+        int(d) for d in pdf.doc_id.to_numpy()[rect.contains_points(pts)]
+    }
