@@ -786,6 +786,37 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .agg(F.sum("doc_count").alias("doc_count"))
         )
 
+    def q_streaming_dedup(spark, sf):
+        """Streaming exact dedup: dropDuplicates on the content
+        fingerprint across micro-batches; after a full availableNow
+        pass the surviving fingerprint SET equals batch DISTINCT
+        (which doc of a dup group survives is stream-order-dependent,
+        so only the fingerprint is emitted)."""
+        from s2_geometry_library_php_spark.sources.documents import (
+            stream_documents,
+        )
+        from s2_geometry_library_php_spark.streaming import (
+            streaming_distinct_documents,
+        )
+
+        out = streaming_distinct_documents(stream_documents(spark, sf))
+        name = "stream_dedup_out"
+        import tempfile
+        import uuid
+
+        ckpt = f"{tempfile.gettempdir()}/s2ddckpt_{uuid.uuid4().hex[:8]}"
+        q = (
+            out.select("fingerprint")
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        q.awaitTermination()
+        return spark.table(name).select("fingerprint").distinct()
+
     def q_polyline_project(spark, sf):
         """Docs near polyline 1 with exact distance + arc-length
         fraction + projected point (S2Polyline.project)."""
@@ -904,6 +935,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hilbert_sort": q_hilbert_sort,
         "distance_probe": q_distance_probe,
         "streaming_tiles": q_streaming_tiles,
+        "streaming_dedup": q_streaming_dedup,
         "polygon_booleans": q_polygon_booleans,
         "polyline_project": q_polyline_project,
         "spatial_join_distributed": q_spatial_join_distributed,
@@ -1424,6 +1456,11 @@ WHERE round(len(list_intersect(a.sh, b.sh)) /
     )
 
     out["extract_text"] = "SELECT doc_id, text AS extracted FROM documents"
+
+    out["streaming_dedup"] = (
+        f"SELECT DISTINCT {fingerprint_duckdb('text')} AS fingerprint "
+        f"FROM documents"
+    )
 
     out["ann_cosine_topk"] = f"""
 WITH q AS (

@@ -210,3 +210,63 @@ def test_streaming_incremental_tiles(spark, docs, tmp_path):
         "SELECT sum(doc_count) AS n FROM tiles_stream"
     ).collect()[0]
     assert int(out.n) == docs.count()
+
+
+def test_streaming_dedup_across_microbatches(spark, docs, tmp_path):
+    """A duplicate arriving in a LATER micro-batch must be suppressed
+    by the fingerprint state (two files, maxFilesPerTrigger=1)."""
+    from s2_geometry_library_php_spark.streaming import (
+        streaming_distinct_documents,
+    )
+
+    src = str(tmp_path / "dd_src")
+    base = docs.select("doc_id", "text").limit(40).withColumn(
+        "warc_ts", F.current_timestamp()
+    )
+    # batch 1: originals; batch 2: same texts under new ids + 10 fresh
+    base.coalesce(1).write.parquet(src)
+    dup = base.withColumn("doc_id", F.col("doc_id") + 100000)
+    fresh = (
+        docs.select("doc_id", "text")
+        .orderBy(F.desc("doc_id"))
+        .limit(10)
+        .withColumn("doc_id", F.col("doc_id") + 200000)
+        .withColumn("warc_ts", F.current_timestamp())
+    )
+    dup.unionByName(fresh).coalesce(1).write.mode("append").parquet(src)
+
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out = streaming_distinct_documents(stream)
+    import tempfile
+    import uuid
+
+    ckpt = f"{tempfile.gettempdir()}/s2ddtest_{uuid.uuid4().hex[:8]}"
+    q = (
+        out.select("doc_id", "fingerprint")
+        .writeStream.format("memory")
+        .queryName("dd_test_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = spark.table("dd_test_out")
+    batch_distinct = (
+        spark.read.parquet(src)
+        .select(F.md5(F.col("text")).alias("x"))
+        .distinct()
+        .count()
+    )
+    # one survivor per distinct content; all batch-1 texts deduped
+    assert got.select("fingerprint").distinct().count() == got.count()
+    assert got.count() == batch_distinct
+    # dup-batch ids only survive for the fresh texts
+    assert got.where(
+        (F.col("doc_id") >= 100000) & (F.col("doc_id") < 200000)
+    ).count() == 0
