@@ -352,6 +352,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "probe_id", "region_id", "rank", "dist6"
         )
 
+    def q_tile_clipped_measures(spark, sf):
+        """Area of region ∩ tile for every level-6 covering tile of
+        the shell+hole polygon fixture — clip driver-side (reference
+        boolean-op machinery), area distributed via the native
+        triangle fan.  Tiles partition the sphere, so the areas sum to
+        the region area (pytest-asserted conservation)."""
+        from s2_geometry_library_php_spark.operators.measures import (
+            tile_clipped_measures,
+        )
+
+        spec = next(s for s in region_fixtures() if s["region_id"] == 11)
+        return tile_clipped_measures(spark, spec, 6).select(
+            "tile_token", "area_sr"
+        )
+
     def q_polyline_crossings(spark, sf):
         """Edge-vs-edge join: which polylines cross which region
         boundaries (S2EdgeIndex candidate shape + robustCrossing)."""
@@ -905,6 +920,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_regions": q_knn_regions,
         "region_measures": q_region_measures,
         "polyline_crossings": q_polyline_crossings,
+        "tile_clipped_measures": q_tile_clipped_measures,
         "exact_dedup": q_exact_dedup,
         "minhash_pairs": q_minhash_pairs,
         "simhash": q_simhash,
@@ -1080,6 +1096,18 @@ def _kernel_oracles() -> dict[str, str]:
             ("region_id", "BIGINT"),
             ("n_crossings", "BIGINT"),
         ],
+    )
+
+    # tile-clipped measures: kernel twin (same clip enumeration,
+    # Girard-tiered areas vs the query's native-SQL l'Huilier fan)
+    from s2_geometry_library_php_spark.operators.measures import (
+        tile_clipped_measures_numpy,
+    )
+
+    _spec11 = next(s for s in region_fixtures() if s["region_id"] == 11)
+    _ORACLE_CACHE["tile_clipped_measures"] = _values_sql(
+        tile_clipped_measures_numpy(_spec11, 6),
+        [("tile_token", "VARCHAR"), ("area_sr", "DOUBLE")],
     )
 
     # region measures: kernel twin (l'Huilier+Girard tiering + robust

@@ -289,3 +289,184 @@ def region_measures_numpy(region_specs: list[dict]) -> list[tuple]:
                  round(lat, CENTROID_ROUND), round(lon, CENTROID_ROUND))
             )
     return rows
+
+
+# --- tile-clipped region measures ---------------------------------------------------
+def tile_clipped_fan_frame(
+    spark: SparkSession, region_spec: dict, level: int
+) -> DataFrame:
+    """Fan-triangle rows for REGION ∩ TILE at every fixed-``level``
+    covering tile of a loop/polygon region — the "area of each
+    tile-clipped region" surface.
+
+    Driver side does the dimension work (covering enumeration + the
+    reference's clip/assembly per tile — regions and their coverings
+    are broadcast-scale); the AREA math runs distributed through the
+    same native-SQL triangle fan as :func:`region_measures`.  Three
+    clip cases per tile:
+
+    * boundary pieces exist -> clipped polygon loops,
+    * tile wholly inside the region (interior covering cells) -> the
+      tile quad itself,
+    * region wholly inside the tile -> the region's own loops.
+
+    Because fixed-level tiles partition the sphere, the per-tile
+    clipped areas SUM to the region area exactly — the conservation
+    invariant the pytest asserts.
+    """
+    from ..s2core import cellid as cid_mod
+    from ..s2core import geom
+    from ..s2core.cell import Cell
+    from ..s2core.coverer import simple_covering
+    from ..s2core.polygon_ops import polygon_intersection
+    from ..s2core.region import (
+        LoopRegion,
+        PolygonRegion,
+        polygon_loop_depths,
+        region_from_params,
+    )
+
+    reg = region_from_params(
+        region_spec["kind"],
+        region_spec["params"],
+        region_spec.get("loop_offsets"),
+    )
+    loops = [reg] if region_spec["kind"] == "loop" else reg.loops
+    reg_poly = reg if isinstance(reg, PolygonRegion) else PolygonRegion([reg])
+    # one flood-fill seed PER LOOP: disjoint shells are separate
+    # connected components the fill cannot hop between
+    cells_set: set = set()
+    for lp in loops:
+        v0 = lp.vertices[0]
+        seed = int(
+            cid_mod.cell_id_from_point(
+                np.asarray(v0[0]), np.asarray(v0[1]), np.asarray(v0[2])
+            )
+        )
+        cells_set.update(simple_covering(reg, seed, level))
+    cells = sorted(cells_set)
+    rows: list = []
+    toks = cid_mod.token_from_id(np.asarray(cells, dtype=np.uint64))
+    for cell_id, tok in zip(cells, toks):
+        cell = Cell(cell_id)
+        tile_loop = LoopRegion.from_xyz(np.asarray(cell.get_vertices()))
+        tile_poly = PolygonRegion([tile_loop])
+        clipped = polygon_intersection(reg_poly, tile_poly)
+        if clipped.loops:
+            depths = polygon_loop_depths(clipped.loops)
+            for lp, d in zip(clipped.loops, depths):
+                rows.extend(
+                    _tile_fan_rows(tok, 1.0 if d % 2 == 0 else -1.0, lp.vertices)
+                )
+        elif reg.contains_cell(cell):
+            rows.extend(_tile_fan_rows(tok, 1.0, tile_loop.vertices))
+        elif bool(
+            tile_loop.contains_points(
+                np.vstack([lp.vertices for lp in loops])
+            ).all()
+        ):
+            depths = polygon_loop_depths(loops) if len(loops) > 1 else [0]
+            for lp, d in zip(loops, depths):
+                rows.extend(
+                    _tile_fan_rows(tok, 1.0 if d % 2 == 0 else -1.0, lp.vertices)
+                )
+        # else: may_intersect false positive -> zero contribution
+        _ = geom
+    return spark.createDataFrame(rows, TILE_FAN_SCHEMA)
+
+
+TILE_FAN_SCHEMA = (
+    "tile_token string, loop_sign double, "
+    "ax double, ay double, az double, "
+    "bx double, by double, bz double, "
+    "cx double, cy double, cz double"
+)
+
+
+def _tile_fan_rows(tok: str, sign: float, vertices: np.ndarray) -> list:
+    base = _loop_fan_rows(0, sign, vertices)
+    return [(tok, *r[1:]) for r in base]
+
+
+def tile_clipped_measures(
+    spark: SparkSession, region_spec: dict, level: int
+) -> DataFrame:
+    """(tile_token, area_sr): interior area of region ∩ tile per
+    fixed-level covering tile, computed by the native-SQL fan."""
+    fan = tile_clipped_fan_frame(spark, region_spec, level)
+    signed_area, _cen = triangle_measure_cols()
+    return (
+        fan.select(
+            "tile_token", (F.col("loop_sign") * signed_area).alias("_sa")
+        )
+        .groupBy("tile_token")
+        .agg(F.round(F.sum("_sa"), AREA_ROUND).alias("area_sr"))
+        .where(F.col("area_sr") > 0.0)
+    )
+
+
+def tile_clipped_measures_numpy(
+    region_spec: dict, level: int
+) -> list[tuple]:
+    """Kernel twin: same clip enumeration, areas via
+    geom.loop_area_centroid (Girard-tiered, robust signs)."""
+    from ..s2core import cellid as cid_mod
+    from ..s2core import geom
+    from ..s2core.cell import Cell
+    from ..s2core.coverer import simple_covering
+    from ..s2core.polygon_ops import polygon_intersection
+    from ..s2core.region import (
+        LoopRegion,
+        PolygonRegion,
+        polygon_loop_depths,
+        region_from_params,
+    )
+
+    reg = region_from_params(
+        region_spec["kind"],
+        region_spec["params"],
+        region_spec.get("loop_offsets"),
+    )
+    loops = [reg] if region_spec["kind"] == "loop" else reg.loops
+    reg_poly = reg if isinstance(reg, PolygonRegion) else PolygonRegion([reg])
+    # one flood-fill seed PER LOOP: disjoint shells are separate
+    # connected components the fill cannot hop between
+    cells_set: set = set()
+    for lp in loops:
+        v0 = lp.vertices[0]
+        seed = int(
+            cid_mod.cell_id_from_point(
+                np.asarray(v0[0]), np.asarray(v0[1]), np.asarray(v0[2])
+            )
+        )
+        cells_set.update(simple_covering(reg, seed, level))
+    cells = sorted(cells_set)
+    toks = cid_mod.token_from_id(np.asarray(cells, dtype=np.uint64))
+    out = []
+    for cell_id, tok in zip(cells, toks):
+        cell = Cell(cell_id)
+        tile_loop = LoopRegion.from_xyz(np.asarray(cell.get_vertices()))
+        tile_poly = PolygonRegion([tile_loop])
+        clipped = polygon_intersection(reg_poly, tile_poly)
+        area = 0.0
+        if clipped.loops:
+            depths = polygon_loop_depths(clipped.loops)
+            for lp, d in zip(clipped.loops, depths):
+                la, _ = geom.loop_area_centroid(lp.vertices)
+                area += la if d % 2 == 0 else -la
+        elif reg.contains_cell(cell):
+            la, _ = geom.loop_area_centroid(tile_loop.vertices)
+            area = la
+        elif bool(
+            tile_loop.contains_points(
+                np.vstack([lp.vertices for lp in loops])
+            ).all()
+        ):
+            depths = polygon_loop_depths(loops) if len(loops) > 1 else [0]
+            for lp, d in zip(loops, depths):
+                la, _ = geom.loop_area_centroid(lp.vertices)
+                area += la if d % 2 == 0 else -la
+        area = round(area, AREA_ROUND)
+        if area > 0.0:
+            out.append((tok, area))
+    return out

@@ -56,39 +56,115 @@ def edge_intersection(
 
 
 def _loop_edges(region: PolygonRegion):
+    """Yield (v0, v1, odd_depth): boundary edges tagged with their
+    loop's nesting parity.  In the engine's normalized representation
+    every loop is CCW around ITS OWN enclosed area, so the polygon's
+    interior lies on the LEFT of even-depth (shell) edges but on the
+    RIGHT of odd-depth (hole) edges — clip consumers must reverse
+    hole pieces to keep interior-on-the-left output."""
+    from .region import polygon_loop_depths
+
+    depths = (
+        polygon_loop_depths(region.loops)
+        if len(region.loops) > 1
+        else [0] * len(region.loops)
+    )
+    for lp, d in zip(region.loops, depths):
+        v = lp.vertices
+        m = len(v)
+        for k in range(m):
+            yield v[k], v[(k + 1) % m], (d % 2 == 1)
+
+
+def _min_boundary_distance(region: PolygonRegion, p: np.ndarray) -> float:
+    """Min distance (radians) from p to any boundary edge of region."""
+    best = float("inf")
     for lp in region.loops:
         v = lp.vertices
         m = len(v)
         for k in range(m):
-            yield v[k], v[(k + 1) % m]
+            d = float(
+                geom.edge_distance_radians(p[None, :], v[k], v[(k + 1) % m])[0]
+            )
+            if d < best:
+                best = d
+    return best
+
+
+ON_BOUNDARY_EPS = 1e-14  # rad (~60 nm): float slack of an exact-overlap midpoint
 
 
 def clip_boundary(
     a: PolygonRegion, b: PolygonRegion, keep_inside_b: bool,
     reverse: bool = False,
+    boundary_inside: bool | None = None,
 ) -> list[tuple[np.ndarray, np.ndarray]]:
-    """Pieces of A's boundary that lie inside (or outside) B.
+    """Pieces of A's boundary that lie inside (or outside) B, oriented
+    interior-on-the-left for the RESULT region.
 
     Every A-edge is subdivided at its crossings with B's edges; a
     piece survives iff its midpoint is inside B == ``keep_inside_b``.
     With ``reverse`` the surviving pieces are emitted end→start
-    (used by difference, where B's clipped boundary bounds holes)."""
+    (used by difference, where B's clipped boundary bounds holes).
+    Pieces from A's HOLE loops (odd nesting depth) are additionally
+    reversed — the region interior sits on their right — so assembly
+    chains close around hole bites (the round-1 formulation skipped
+    this and produced no loops for hole-crossing clips).
+
+    ``boundary_inside`` resolves EXACT boundary overlaps (an A edge
+    collinear with a B edge — e.g. a region edge lying on an S2 face
+    boundary shared with a cell edge): a piece whose midpoint sits ON
+    B's boundary is declared inside/outside B by this flag instead of
+    the parity test, so the two passes of an intersection emit the
+    shared segment EXACTLY once (True on the A-pass, False on the
+    B-pass) and assembly chains close."""
     out: list[tuple[np.ndarray, np.ndarray]] = []
     b_edges = list(_loop_edges(b))
-    for v0, v1 in _loop_edges(a):
+    b_verts = np.vstack([lp.vertices for lp in b.loops])
+    for v0, v1, odd in _loop_edges(a):
         cross_pts = []
-        for w0, w1 in b_edges:
+        for w0, w1, _bodd in b_edges:
             if geom.robust_crossing(v0, v1, w0, w1) > 0:
-                cross_pts.append(edge_intersection(v0, v1, w0, w1))
+                x = edge_intersection(v0, v1, w0, w1)
+                # COLLINEAR overlapping edges can report a symbolic
+                # "crossing" whose intersection (cross of parallel
+                # normals) is garbage — keep only points that really
+                # lie on BOTH segments
+                if (
+                    float(geom.edge_distance_radians(x[None, :], v0, v1)[0])
+                    <= ON_BOUNDARY_EPS
+                    and float(
+                        geom.edge_distance_radians(x[None, :], w0, w1)[0]
+                    )
+                    <= ON_BOUNDARY_EPS
+                ):
+                    cross_pts.append(x)
+        # T-junction noding: split also at B VERTICES lying on this
+        # edge's interior (collinear-overlap boundaries — e.g. a region
+        # edge along an S2 face boundary meeting cell corners — produce
+        # vertex-on-edge contacts that robust_crossing does not report)
+        d = geom.edge_distance_radians(b_verts, v0, v1)
+        for bi in np.nonzero(d <= ON_BOUNDARY_EPS)[0]:
+            bv = b_verts[bi]
+            if not (
+                np.array_equal(bv, v0) or np.array_equal(bv, v1)
+            ):
+                cross_pts.append(bv)
         # order splits along the edge by angle from v0
         cross_pts.sort(key=lambda p: float(geom.angle_between(v0[None], p[None])[0]))
         chain = [v0, *cross_pts, v1]
+        flip = reverse ^ odd
         for i in range(len(chain) - 1):
             mid = chain[i] + chain[i + 1]
             mid = mid / np.linalg.norm(mid)
             inside = bool(b.contains_points(mid[None, :])[0])
+            if (
+                boundary_inside is not None
+                and _min_boundary_distance(b, mid) <= ON_BOUNDARY_EPS
+            ):
+                inside = boundary_inside
             if inside == keep_inside_b:
-                piece = (chain[i + 1], chain[i]) if reverse else (chain[i], chain[i + 1])
+                piece = (chain[i + 1], chain[i]) if flip else (chain[i], chain[i + 1])
                 out.append(piece)
     return out
 
@@ -164,8 +240,12 @@ def _to_polygon(loops_xyz: list[np.ndarray]) -> PolygonRegion:
 
 
 def polygon_intersection(a: PolygonRegion, b: PolygonRegion) -> PolygonRegion:
-    """A ∩ B (S2Polygon::initToIntersection semantics)."""
-    pieces = clip_boundary(a, b, True) + clip_boundary(b, a, True)
+    """A ∩ B (S2Polygon::initToIntersection semantics).  Exact
+    boundary overlaps are emitted once, from the A side
+    (boundary_inside asymmetry)."""
+    pieces = clip_boundary(a, b, True, boundary_inside=True) + clip_boundary(
+        b, a, True, boundary_inside=False
+    )
     return _to_polygon(assemble_loops(pieces))
 
 

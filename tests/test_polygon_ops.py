@@ -91,3 +91,78 @@ def test_spec_round_trip_preserves_containment():
     assert np.array_equal(
         rebuilt.contains_points(pts), inter.contains_points(pts)
     )
+
+
+def test_tile_clipped_area_conservation(spark):
+    """Fixed-level tiles partition the sphere, so per-tile clipped
+    areas must sum to the region area — for every loop/polygon
+    fixture, including the shell+hole and the two-disjoint-shells
+    polygons (the equator-aligned shell shares edges with S2 cell
+    boundaries, exercising collinear-overlap clipping)."""
+    from s2_geometry_library_php_spark.operators.measures import (
+        region_measures_numpy,
+        tile_clipped_measures,
+        tile_clipped_measures_numpy,
+    )
+    from s2_geometry_library_php_spark.sources import region_fixtures
+
+    specs = {s["region_id"]: s for s in region_fixtures()}
+    for rid, lvl in [(7, 6), (8, 7), (11, 6), (12, 6)]:
+        kernel = dict(tile_clipped_measures_numpy(specs[rid], lvl))
+        total = sum(kernel.values())
+        full = next(
+            r[1] for r in region_measures_numpy([specs[rid]]) if r[0] == rid
+        )
+        assert abs(total - full) / full < 1e-5, (rid, total, full)
+    # Spark path row-matches the kernel twin for the shell+hole case
+    got = {
+        r.tile_token: r.area_sr
+        for r in tile_clipped_measures(spark, specs[11], 6).collect()
+    }
+    want = dict(tile_clipped_measures_numpy(specs[11], 6))
+    assert set(got) == set(want)
+    for t in got:
+        assert abs(got[t] - want[t]) <= 2e-9, (t, got[t], want[t])
+
+
+def test_polygon_intersection_with_hole_clips():
+    """Round-1 regression: clipping a tile-sized quad against a
+    shell+hole polygon across the HOLE boundary must produce loops
+    (hole pieces reversed to interior-on-the-left)."""
+    import numpy as np
+
+    from s2_geometry_library_php_spark.s2core import geom
+    from s2_geometry_library_php_spark.s2core.polygon_ops import (
+        polygon_intersection,
+    )
+    from s2_geometry_library_php_spark.s2core.region import (
+        region_from_params,
+    )
+
+    donut = region_from_params(
+        "polygon",
+        [30.0, 10.0, 30.0, 20.0, 40.0, 20.0, 40.0, 10.0,
+         33.0, 13.0, 33.0, 17.0, 37.0, 17.0, 37.0, 13.0],
+        [0, 4],
+    )
+    # quad straddling the hole's west edge, inside the shell
+    quad = region_from_params(
+        "polygon", [34.0, 12.0, 34.0, 14.0, 36.0, 14.0, 36.0, 12.0], [0]
+    )
+    clipped = polygon_intersection(donut, quad)
+    assert clipped.loops
+    area = sum(
+        geom.loop_area_centroid(lp.vertices)[0] for lp in clipped.loops
+    )
+    # expected: the quad minus its overlap with the hole (flat approx)
+    quad_area = geom.loop_area_centroid(quad.loops[0].vertices)[0]
+    overlap = region_from_params(
+        "polygon", [34.0, 13.0, 34.0, 14.0, 36.0, 14.0, 36.0, 13.0], [0]
+    )
+    overlap_area = geom.loop_area_centroid(overlap.loops[0].vertices)[0]
+    # the overlap quad's lat edges are DIFFERENT geodesics than the
+    # clipped arcs (a geodesic through (34,12)-(34,14) is not the one
+    # through (34,13)-(34,14)), so equality holds only to the sliver
+    # between them (~5e-10 sr here)
+    assert abs(area - (quad_area - overlap_area)) / quad_area < 1e-5
+    _ = np
