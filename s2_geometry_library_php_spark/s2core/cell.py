@@ -753,6 +753,18 @@ class Cell:
 
         return AVG_AREA.get_value(self.level)
 
+    def approx_area(self) -> float:
+        """Flat quadrilateral area (half the diagonal cross product)
+        with a spherical-cap curvature correction — within 3% of
+        exact, much cheaper (S2Cell.php:285-303)."""
+        if self.level < 2:
+            return self.average_area()
+        v = self.get_vertices()
+        flat = 0.5 * float(
+            np.linalg.norm(np.cross(v[2] - v[0], v[3] - v[1]))
+        )
+        return flat * 2.0 / (1.0 + math.sqrt(1.0 - min(flat / math.pi, 1.0)))
+
 
 def girard_area(a: np.ndarray, b: np.ndarray, c: np.ndarray) -> float:
     """Girard spherical excess via robustCrossProd (S2.php:332-349)."""

@@ -671,3 +671,21 @@ def test_polygon_intersects_polygon_cases():
     assert not polygon_intersects_polygon(in_hole, donut)
     assert polygon_intersects_polygon(donut, in_ring)
     assert polygon_intersects_polygon(in_ring, donut)
+
+
+def test_cell_approx_area_tracks_exact():
+    from s2_geometry_library_php_spark.s2core.cell import Cell
+
+    rng = np.random.default_rng(6)
+    leafs = cid.cell_id_from_latlng_degrees(
+        rng.uniform(-85, 85, 40), rng.uniform(-179, 179, 40)
+    )
+    for lvl in (2, 5, 10, 20, 29):
+        for c in cid.parent(leafs[:8], lvl):
+            cell = Cell(int(c))
+            exact = cell.exact_area()
+            approx = cell.approx_area()
+            assert abs(approx - exact) / exact < 0.03  # documented 3%
+    # level<2 falls back to the average area
+    face = Cell(int(cid.parent(leafs[:1], 0)[0]))
+    assert face.approx_area() == face.average_area()
