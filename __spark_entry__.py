@@ -63,6 +63,8 @@ KNN_PROBES = [
 KNN_K = 5
 ANN_K = 10
 ANN_QUERY_IDS = list(range(8))
+IVF_LISTS = 16
+IVF_PROBES = 6
 TILE_LEVEL = 8
 
 
@@ -479,6 +481,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ).select(F.col("vec_id").alias("query_id"), "embedding")
         return ann_lsh_stats(emb, queries_df, ANN_K).select(
             "query_id", "n_candidates", "recall6"
+        )
+
+    def q_ann_ivf(spark, sf):
+        """IVF ANN: deterministic spherical k-means coarse quantizer
+        (driver-trained) + inverted-list equi-join + exact re-rank."""
+        import duckdb as _d
+
+        from s2_geometry_library_php_spark.operators.similarity import (
+            ann_ivf_topk,
+            train_ivf_centroids,
+        )
+
+        vec_rows = _d.sql(
+            f"SELECT embedding FROM '{sf}/embeddings.parquet' ORDER BY vec_id"
+        ).fetchall()
+        cents = train_ivf_centroids(
+            np.asarray([r[0] for r in vec_rows], dtype=np.float64), IVF_LISTS
+        )
+        emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+        queries_df = emb.where(
+            F.col("vec_id").isin(ANN_QUERY_IDS)
+        ).select(F.col("vec_id").alias("query_id"), "embedding")
+        return ann_ivf_topk(
+            emb, queries_df, ANN_K, cents, n_probe=IVF_PROBES
+        ).select(
+            "query_id", "vec_id", F.col("rank").cast("long").alias("rank")
         )
 
     def q_embedding_near_dup(spark, sf):
@@ -933,6 +961,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk": q_ann_lsh,
         "ann_lsh_recall": q_ann_lsh_recall,
         "embedding_near_dup": q_embedding_near_dup,
+        "ann_ivf_topk": q_ann_ivf,
         "cell_union_normalize": q_cell_union,
         "cell_intersection": q_cell_intersection,
         "region_expand": q_region_expand,
@@ -1385,12 +1414,20 @@ def _kernel_oracles() -> dict[str, str]:
     )
 
     from s2_geometry_library_php_spark.operators.similarity import (
+        ivf_numpy_twin,
         near_dup_numpy_twin,
+        train_ivf_centroids,
     )
 
     _ORACLE_CACHE["embedding_near_dup"] = _values_sql(
         near_dup_numpy_twin(eids, evecs, 0.4),
         [("id_a", "BIGINT"), ("id_b", "BIGINT"), ("cosine6", "DOUBLE")],
+    )
+
+    _cents = train_ivf_centroids(evecs.astype(np.float64), IVF_LISTS)
+    _ORACLE_CACHE["ann_ivf_topk"] = _values_sql(
+        ivf_numpy_twin(eids, evecs, ANN_QUERY_IDS, ANN_K, _cents, IVF_PROBES),
+        [("query_id", "BIGINT"), ("vec_id", "BIGINT"), ("rank", "BIGINT")],
     )
 
     # multimodal (deterministic fake features, same python)

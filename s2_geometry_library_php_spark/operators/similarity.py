@@ -423,3 +423,148 @@ def ann_lsh_stats(
             ).alias("recall6"),
         )
     )
+
+
+# --- IVF (inverted-file) ANN: the second scale path ---------------------------------
+def train_ivf_centroids(
+    vecs: np.ndarray, n_lists: int, n_iters: int = 10, seed: int = 977
+) -> np.ndarray:
+    """Deterministic spherical k-means coarse quantizer (driver-side,
+    over a SAMPLE at production scale): seeded centroid init, fixed
+    Lloyd iteration count, cosine assignment with lowest-index tie
+    break — every run reproduces the same centroids bit-for-bit, so
+    the Spark path and the numpy oracle twin agree exactly."""
+    v = np.asarray(vecs, dtype=np.float64)
+    v = v / np.linalg.norm(v, axis=1, keepdims=True)
+    rng = np.random.default_rng(seed)
+    idx = rng.choice(len(v), size=min(n_lists, len(v)), replace=False)
+    cent = v[np.sort(idx)].copy()
+    for _ in range(n_iters):
+        assign = np.argmax(v @ cent.T, axis=1)  # ties -> lowest index
+        for c in range(len(cent)):
+            members = v[assign == c]
+            if len(members):
+                m = members.sum(axis=0)
+                n = np.linalg.norm(m)
+                if n > 0:
+                    cent[c] = m / n
+    return cent
+
+
+def ivf_assign_udf(centroids: np.ndarray):
+    """Arrow-batched nearest-centroid assignment (one matmul per
+    batch)."""
+    cent = np.asarray(centroids, dtype=np.float64)
+
+    from pyspark.sql.types import IntegerType
+
+    @F.pandas_udf(IntegerType())
+    def assign(vec: pd.Series) -> pd.Series:
+        if len(vec) == 0:
+            return pd.Series([], dtype="int32")
+        mat = np.stack(vec.to_numpy()).astype(np.float64)
+        mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+        return pd.Series(np.argmax(mat @ cent.T, axis=1).astype(np.int32))
+
+    return assign
+
+
+def ann_ivf_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int,
+    centroids: np.ndarray,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """IVF ANN: corpus partitioned once into inverted lists by nearest
+    centroid; each query probes its ``n_probe`` nearest lists via a
+    broadcast equi-join on the list id; exact cosine re-rank on the
+    candidates.  Candidates per query ~ N * n_probe / n_lists.
+
+    The coarse quantizer is trained driver-side over a sample
+    (:func:`train_ivf_centroids`) — the standard IVF shape: centroids
+    are a broadcast dimension, the corpus is scanned once to assign
+    lists (a persisted column in production), and queries never touch
+    more than their probed lists."""
+    assign = ivf_assign_udf(centroids)
+    cent = np.asarray(centroids, dtype=np.float64)
+    e = embeddings.withColumn("_list", assign(F.col(vec_col)))
+
+    # query-side probe lists computed driver-free via the same UDF
+    # would give only the top-1; expand to n_probe lists with a
+    # small pandas UDF on the (tiny) query side
+    from pyspark.sql.types import ArrayType, IntegerType
+
+    @F.pandas_udf(ArrayType(IntegerType()))
+    def probes(vec: pd.Series) -> pd.Series:
+        if len(vec) == 0:
+            return pd.Series([], dtype=object)
+        mat = np.stack(vec.to_numpy()).astype(np.float64)
+        mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+        sims = mat @ cent.T
+        order = np.argsort(-sims, axis=1, kind="stable")[:, :n_probe]
+        return pd.Series([row.astype(np.int32).tolist() for row in order])
+
+    q = (
+        queries.withColumn("_probes", probes(F.col(vec_col)))
+        .select(
+            query_id_col,
+            F.col(vec_col).alias("_qvec"),
+            F.explode("_probes").alias("_list"),
+        )
+    )
+    cand = e.join(F.broadcast(q), "_list").where(
+        F.col(id_col) != F.col(query_id_col)
+    )
+    sim = cosine_similarity_col(
+        F.transform(F.col(vec_col), lambda x: x.cast("double")),
+        F.transform(F.col("_qvec"), lambda x: x.cast("double")),
+    ).alias("cosine")
+    dedup = (
+        cand.select(query_id_col, id_col, sim)
+        .groupBy(query_id_col, id_col)
+        .agg(F.max("cosine").alias("cosine"))
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cosine").desc(), F.col(id_col).asc()
+    )
+    return dedup.withColumn("rank", F.row_number().over(w)).where(
+        F.col("rank") <= k
+    )
+
+
+def ivf_numpy_twin(
+    ids: np.ndarray,
+    vecs: np.ndarray,
+    query_ids: list[int],
+    k: int,
+    centroids: np.ndarray,
+    n_probe: int = 4,
+) -> list[tuple]:
+    """Numpy twin of :func:`ann_ivf_topk` for the kernel-backed
+    oracle: same centroids, same assignment/probe/tie rules, same
+    rounded-cosine ranking.  Returns (query_id, vec_id, rank) rows."""
+    cent = np.asarray(centroids, dtype=np.float64)
+    v64 = np.asarray(vecs, dtype=np.float64)
+    vn = v64 / np.linalg.norm(v64, axis=1, keepdims=True)
+    assign = np.argmax(vn @ cent.T, axis=1)
+    norms = np.linalg.norm(v64, axis=1)
+    id_to_row = {int(i): r for r, i in enumerate(ids)}
+    rows: list[tuple] = []
+    for qid in query_ids:
+        qr = id_to_row[qid]
+        sims_c = vn[qr] @ cent.T
+        probe = np.argsort(-sims_c, kind="stable")[:n_probe]
+        mask = np.isin(assign, probe)
+        mask[qr] = False
+        cand = np.nonzero(mask)[0]
+        cos = np.round(
+            (v64[cand] @ v64[qr]) / (norms[cand] * norms[qr]), ROUND
+        )
+        order = np.lexsort((ids[cand], -cos))
+        for r, row in enumerate(cand[order[:k]], start=1):
+            rows.append((int(qid), int(ids[row]), r))
+    return rows

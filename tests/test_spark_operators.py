@@ -546,3 +546,38 @@ def test_sql_registered_api_surface(spark, docs):
     assert got_rect == {
         int(d) for d in pdf.doc_id.to_numpy()[rect.contains_points(pts)]
     }
+
+
+def test_ann_ivf_recall(spark):
+    """IVF (nprobe=6 of 16 lists, ~37% of corpus probed) on the
+    near-random synthetic embeddings: deterministic output (twin
+    oracle-checked by the driver) and a recall floor vs exact."""
+    import duckdb
+
+    from s2_geometry_library_php_spark.operators.similarity import (
+        ann_ivf_topk,
+        cosine_topk_brute,
+        train_ivf_centroids,
+    )
+
+    rows = duckdb.sql(
+        "SELECT embedding FROM '/root/testdata/sf0.01/embeddings.parquet' "
+        "ORDER BY vec_id"
+    ).fetchall()
+    cents = train_ivf_centroids(
+        np.asarray([r[0] for r in rows], dtype=np.float64), 16
+    )
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    q = emb.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = {
+        (r.query_id, r.vec_id)
+        for r in cosine_topk_brute(emb, q, 10).collect()
+    }
+    approx = {
+        (r.query_id, r.vec_id)
+        for r in ann_ivf_topk(emb, q, 10, cents, n_probe=6).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.6, f"IVF recall too low: {recall}"
