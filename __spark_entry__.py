@@ -413,6 +413,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         docs = spark.read.parquet(f"{sf}/documents.parquet")
         return ngram_jaccard_pairs(docs, threshold=0.2)
 
+    def q_winnow_fingerprint(spark, sf):
+        """Winnowing (rolling-hash) document fingerprints, compact
+        per-doc signature (kernel-twin oracle)."""
+        from s2_geometry_library_php_spark.functions.dedup import (
+            winnow_signature,
+        )
+
+        docs = spark.read.parquet(f"{sf}/documents.parquet")
+        return winnow_signature(docs).select(
+            "doc_id", "n_fp", "fp_min", "fp_max", "fp_xor"
+        )
+
+    def q_winnow_pairs(spark, sf):
+        """Near-dup candidates sharing >= 4 winnowing fingerprints
+        (fingerprint equi-join — the banding shuffle shape)."""
+        from s2_geometry_library_php_spark.functions.dedup import (
+            winnow_pairs,
+        )
+
+        docs = spark.read.parquet(f"{sf}/documents.parquet")
+        return winnow_pairs(docs, min_shared=4).select(
+            "doc_a", "doc_b", "n_shared"
+        )
+
     def q_lang_id(spark, sf):
         docs = spark.read.parquet(f"{sf}/documents.parquet")
         return docs.select(
@@ -953,6 +977,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_pairs": q_minhash_pairs,
         "simhash": q_simhash,
         "ngram_jaccard": q_ngram_jaccard,
+        "winnow_fingerprint": q_winnow_fingerprint,
+        "winnow_pairs": q_winnow_pairs,
         "lang_id": q_lang_id,
         "quality": q_quality,
         "token_count": q_token_count,
@@ -1154,6 +1180,39 @@ def _kernel_oracles() -> dict[str, str]:
             ("centroid_lat", "DOUBLE"),
             ("centroid_lon", "DOUBLE"),
         ],
+    )
+
+    # winnowing fingerprints: shared kernel (winnow_fingerprints) for
+    # UDF + twin; pairs recomputed independently from the per-doc sets
+    from s2_geometry_library_php_spark.functions.dedup import (
+        winnow_fingerprints,
+        winnow_rows_numpy,
+    )
+
+    _ORACLE_CACHE["winnow_fingerprint"] = _values_sql(
+        winnow_rows_numpy(doc_id, text),
+        [
+            ("doc_id", "BIGINT"),
+            ("n_fp", "BIGINT"),
+            ("fp_min", "BIGINT"),
+            ("fp_max", "BIGINT"),
+            ("fp_xor", "BIGINT"),
+        ],
+    )
+    _fp_sets = {
+        int(d): set(winnow_fingerprints(t if t else ""))
+        for d, t in zip(doc_id, text)
+    }
+    _pair_rows = []
+    _ids_sorted = sorted(_fp_sets)
+    for _i, _da in enumerate(_ids_sorted):
+        for _db in _ids_sorted[_i + 1 :]:
+            shared = len(_fp_sets[_da] & _fp_sets[_db])
+            if shared >= 4:
+                _pair_rows.append((_da, _db, shared))
+    _ORACLE_CACHE["winnow_pairs"] = _values_sql(
+        _pair_rows,
+        [("doc_a", "BIGINT"), ("doc_b", "BIGINT"), ("n_shared", "BIGINT")],
     )
 
     # simhash (same python algorithm as the UDF)

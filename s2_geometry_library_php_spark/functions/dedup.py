@@ -379,3 +379,118 @@ def ngram_jaccard_pairs(
         .select("doc_a", "doc_b", jac.alias("jaccard"))
         .where(F.col("jaccard") >= threshold)
     )
+
+
+# --- winnowing document fingerprints (rolling hash) ---------------------------------
+WINNOW_K = 20  # k-gram length (chars): guarantee threshold K+W-1 = 35 chars
+WINNOW_W = 16  # winnowing window (hashes); density ~ 2/(W+1) ~ 12%
+_WB = 257  # rolling-hash base
+# Mersenne modulus 2^31-1: codepoints < 2^21 and powers < 2^31 keep
+# every vectorized product below 2^52 — no uint64 overflow, so the
+# numpy arithmetic IS the exact modular arithmetic
+_WM = (1 << 31) - 1
+
+
+def winnow_fingerprints(text: str) -> list[int]:
+    """Winnowing fingerprint set (the MOSS scheme): Rabin-Karp rolling
+    hashes of all char k-grams, then the minimum hash of every sliding
+    window of ``WINNOW_W`` consecutive hashes; the distinct selected
+    minima are the document's fingerprints.  Guarantees: any shared
+    substring of length >= WINNOW_K + WINNOW_W - 1 contributes at
+    least one SHARED fingerprint, so near-duplicate documents collide
+    with high probability while the fingerprint density stays ~2/(w+1).
+
+    Pure numpy (k vectorized passes for the polynomial, one sliding
+    window min); the same function is the kernel for BOTH the Spark
+    UDF and the driver oracle."""
+    if not text:
+        return []
+    codes = np.frombuffer(text.encode("utf-32-le"), dtype="<u4").astype(
+        np.uint64
+    )
+    n = len(codes)
+    if n < WINNOW_K:
+        return []
+    m = np.uint64(_WM)
+    h = np.zeros(n - WINNOW_K + 1, dtype=np.uint64)
+    for j in range(WINNOW_K):
+        power = np.uint64(pow(_WB, WINNOW_K - 1 - j, _WM))
+        h = (h + (codes[j : n - WINNOW_K + 1 + j] * power) % m) % m
+    if len(h) < WINNOW_W:
+        return sorted({int(h.min())})
+    from numpy.lib.stride_tricks import sliding_window_view
+
+    mins = sliding_window_view(h, WINNOW_W).min(axis=1)
+    return sorted({int(x) for x in mins})
+
+
+@F.pandas_udf(ArrayType(LongType()))
+def winnow_fingerprints_udf(text: pd.Series) -> pd.Series:
+    """Arrow-batched winnowing fingerprints (int64-reinterpreted)."""
+    out = []
+    for t in text:
+        fps = winnow_fingerprints(t if t else "")
+        out.append(
+            [int(np.uint64(x).view(np.int64)) for x in np.asarray(fps, dtype=np.uint64)]
+            if fps
+            else []
+        )
+    return pd.Series(out)
+
+
+def winnow_signature(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, n_fp, fp_min, fp_max, fp_xor): a deterministic compact
+    signature of each document's fingerprint set."""
+    fp = docs.select(
+        "doc_id", winnow_fingerprints_udf(F.col(text_col)).alias("_fp")
+    )
+    return fp.select(
+        "doc_id",
+        F.size("_fp").cast("long").alias("n_fp"),
+        F.array_min("_fp").alias("fp_min"),
+        F.array_max("_fp").alias("fp_max"),
+        F.aggregate(
+            "_fp", F.lit(0).cast("long"), lambda a, x: a.bitwiseXOR(x)
+        ).alias("fp_xor"),
+    )
+
+
+def winnow_pairs(
+    docs: DataFrame, min_shared: int = 4, text_col: str = "text"
+) -> DataFrame:
+    """Near-duplicate candidates by shared winnowing fingerprints:
+    explode -> equi-join on the fingerprint (the same banding shuffle
+    shape as MinHash — never all-pairs), count shared per pair.
+    Output: (doc_a, doc_b, n_shared) with n_shared >= min_shared."""
+    fp = docs.select(
+        "doc_id", F.explode(winnow_fingerprints_udf(F.col(text_col))).alias("fp")
+    ).distinct()
+    a, b = fp.alias("a"), fp.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.fp") == F.col("b.fp"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .where(F.col("n_shared") >= min_shared)
+    )
+
+
+def winnow_rows_numpy(doc_ids, texts) -> list[tuple]:
+    """Oracle twin of :func:`winnow_signature`."""
+    rows = []
+    for d, t in zip(doc_ids, texts):
+        fps = winnow_fingerprints(t if t else "")
+        signed = [int(np.uint64(x).view(np.int64)) for x in np.asarray(fps, dtype=np.uint64)] if fps else []
+        if signed:
+            x = 0
+            for v in signed:
+                x ^= v
+            rows.append((int(d), len(signed), min(signed), max(signed), x))
+        else:
+            rows.append((int(d), 0, None, None, 0))
+    return rows

@@ -270,3 +270,38 @@ def test_streaming_dedup_across_microbatches(spark, docs, tmp_path):
     assert got.where(
         (F.col("doc_id") >= 100000) & (F.col("doc_id") < 200000)
     ).count() == 0
+
+
+def test_winnow_fingerprints_detect_duplicates(spark, docs):
+    """Winnowing guarantee: an exact copy shares ALL fingerprints; a
+    doc sharing a long substring shares at least one; unrelated texts
+    share few."""
+    from s2_geometry_library_php_spark.functions.dedup import (
+        WINNOW_K,
+        WINNOW_W,
+        winnow_fingerprints,
+        winnow_pairs,
+    )
+
+    base = docs.select("doc_id", "text").limit(25)
+    dup = base.withColumn("doc_id", F.col("doc_id") + 100000)
+    pairs = {
+        (r.doc_a, r.doc_b): r.n_shared
+        for r in winnow_pairs(base.unionByName(dup), min_shared=4).collect()
+    }
+    for r in base.collect():
+        n_fp = len(winnow_fingerprints(r.text))
+        if n_fp >= 4:
+            key = (r.doc_id, r.doc_id + 100000)
+            assert key in pairs
+            assert pairs[key] == n_fp  # exact copy shares everything
+
+    # substring guarantee: any shared run >= K+W-1 chars yields a
+    # shared fingerprint
+    a = "x" * 10 + "the quick brown fox jumps over the lazy dog today" + "y" * 10
+    b = "p" * 7 + "the quick brown fox jumps over the lazy dog today" + "q" * 13
+    shared = set(winnow_fingerprints(a)) & set(winnow_fingerprints(b))
+    assert len("the quick brown fox jumps over the lazy dog today") >= (
+        WINNOW_K + WINNOW_W - 1
+    )
+    assert shared
