@@ -150,6 +150,41 @@ def main() -> None:
         )
     )
 
+    from s2_geometry_library_php_spark.functions.dedup import winnow_pairs
+    from s2_geometry_library_php_spark.operators.similarity import (
+        ann_ivf_topk,
+        train_ivf_centroids,
+    )
+
+    plans.append(
+        (
+            "winnowing near-dup pairs (fingerprint equi-join, banding "
+            "shuffle shape)",
+            winnow_pairs(raw_docs),
+        )
+    )
+    import duckdb as _d
+
+    _vecs = _d.sql(
+        f"SELECT embedding FROM '{SF}/embeddings.parquet' ORDER BY vec_id"
+    ).fetchall()
+    import numpy as _np
+
+    _cents = train_ivf_centroids(
+        _np.asarray([r[0] for r in _vecs], dtype=_np.float64), 16
+    )
+    _emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    _q = _emb.where(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    plans.append(
+        (
+            "IVF ANN (corpus assigned once, queries probe n_probe lists "
+            "via broadcast equi-join)",
+            ann_ivf_topk(_emb, _q, 10, _cents, n_probe=6),
+        )
+    )
+
     out = ["# EXPLAIN — physical plans of the headline operators\n"]
     out.append(
         "Generated by tools/dump_plans.py at sf0.01 on local[8]; the\n"
