@@ -581,3 +581,45 @@ def test_ann_ivf_recall(spark):
     }
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.6, f"IVF recall too low: {recall}"
+
+
+def test_scale_critical_plans_have_no_nested_loops(spark, docs):
+    """The operators whose 100 TB story depends on hash equi-joins
+    must never compile to CartesianProduct / BroadcastNestedLoopJoin
+    (a regression here is a silent scale-killer even when results
+    stay correct)."""
+    from s2_geometry_library_php_spark.functions.dedup import (
+        minhash_band_pairs,
+        ngram_jaccard_pairs,
+        winnow_pairs,
+    )
+    from s2_geometry_library_php_spark.operators import spatial_join
+    from s2_geometry_library_php_spark.operators.polyline_join import (
+        polyline_region_crossing_join,
+    )
+    from s2_geometry_library_php_spark.operators.similarity import (
+        embedding_near_dup_pairs,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    frames = {
+        "spatial_join": spatial_join(
+            spark, docs.select("doc_id", "lat", "lon", "cell_id"),
+            region_fixtures(),
+        ),
+        "ngram_jaccard": ngram_jaccard_pairs(
+            docs.select("doc_id", "source", "text"), threshold=0.2
+        ),
+        "minhash_pairs": minhash_band_pairs(docs.select("doc_id", "text")),
+        "winnow_pairs": winnow_pairs(docs.select("doc_id", "text")),
+        "embedding_near_dup": embedding_near_dup_pairs(emb, 0.4),
+        "polyline_crossings": polyline_region_crossing_join(
+            spark,
+            [dict(line_id=1, vertices=[[42.0, -77.0], [42.0, -72.0]])],
+            region_fixtures(),
+        ),
+    }
+    for name, df in frames.items():
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
