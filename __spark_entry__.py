@@ -884,6 +884,43 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         q.awaitTermination()
         return spark.table(name).select("fingerprint").distinct()
 
+    def q_streaming_sessionize(spark, sf):
+        """Custom stateful streaming operator #2: per-user session
+        counting via applyInPandasWithState; after a full availableNow
+        pass the state equals the batch sessionization (same oracle
+        as `sessionize`)."""
+        from s2_geometry_library_php_spark.sources.documents import (
+            stream_table,
+        )
+        from s2_geometry_library_php_spark.streaming import (
+            user_sessionize_stream,
+        )
+
+        out = user_sessionize_stream(stream_table(spark, sf, "events"))
+        name = "stream_sess_out"
+        import tempfile
+        import uuid
+
+        ckpt = f"{tempfile.gettempdir()}/s2ssckpt_{uuid.uuid4().hex[:8]}"
+        q = (
+            out.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        q.awaitTermination()
+        # update-mode sink: counts are monotone, the max is final state
+        return (
+            spark.table(name)
+            .groupBy("user_id")
+            .agg(
+                F.max("n_sessions").alias("n_sessions"),
+                F.max("n_events").alias("n_events"),
+            )
+        )
+
     def q_polyline_project(spark, sf):
         """Docs near polyline 1 with exact distance + arc-length
         fraction + projected point (S2Polyline.project)."""
@@ -1007,6 +1044,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "distance_probe": q_distance_probe,
         "streaming_tiles": q_streaming_tiles,
         "streaming_dedup": q_streaming_dedup,
+        "streaming_sessionize": q_streaming_sessionize,
         "polygon_booleans": q_polygon_booleans,
         "polyline_project": q_polyline_project,
         "spatial_join_distributed": q_spatial_join_distributed,
@@ -1630,6 +1668,8 @@ SELECT user_id, CAST(max(session_id) AS BIGINT) AS n_sessions,
        CAST(count(*) AS BIGINT) AS n_events
 FROM sess GROUP BY user_id
 """
+
+    out["streaming_sessionize"] = out["sessionize"]
 
     out["tpch_pricing"] = """
 SELECT l_returnflag, l_linestatus,

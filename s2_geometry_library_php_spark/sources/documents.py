@@ -146,6 +146,30 @@ def stream_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return derive_corpus_columns(df)
 
 
+def stream_table(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    """Generic file-stream source over one testdata parquet table
+    (same symlink staging as :func:`stream_documents`, no derived
+    columns)."""
+    import hashlib
+    import os
+    import tempfile
+
+    src = os.path.abspath(f"{sf_dir}/{table}.parquet")
+    tag = hashlib.md5(src.encode()).hexdigest()[:12]
+    stage = os.path.join(tempfile.gettempdir(), f"s2stream_{tag}")
+    os.makedirs(stage, exist_ok=True)
+    link = os.path.join(stage, f"{table}.parquet")
+    if os.path.lexists(link) and os.path.realpath(link) != os.path.realpath(src):
+        os.unlink(link)
+    if not os.path.lexists(link):
+        try:
+            os.symlink(src, link)
+        except FileExistsError:
+            pass
+    schema = spark.read.parquet(src).schema
+    return spark.readStream.schema(schema).format("parquet").load(stage)
+
+
 def duckdb_documents_cte(sf_dir_or_view: str = "documents") -> str:
     """The same derivation as a DuckDB CTE body over the pre-registered
     ``documents`` view — prepend as

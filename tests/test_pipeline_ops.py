@@ -305,3 +305,69 @@ def test_winnow_fingerprints_detect_duplicates(spark, docs):
         WINNOW_K + WINNOW_W - 1
     )
     assert shared
+
+
+def test_streaming_sessionize_across_microbatches(spark, tmp_path):
+    """Session chains must survive the micro-batch boundary: a user's
+    events split by TIME into two files (maxFilesPerTrigger=1) must
+    yield the same session count as one batch — including a session
+    that SPANS the boundary (short gap across files => no new
+    session)."""
+    from s2_geometry_library_php_spark.streaming import (
+        user_sessionize_stream,
+    )
+
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1, 12, 0, 0)
+
+    def ev(i, user, minutes):
+        return (i, user, base + dt.timedelta(minutes=minutes))
+
+    early = [
+        # user 1: two events 10 min apart (one session so far)
+        ev(1, 1, 0), ev(2, 1, 10),
+        # user 2: one event
+        ev(3, 2, 0),
+    ]
+    late = [
+        # user 1: +15 min after file-1's last -> SAME session spans
+        # the boundary; then a 60-min gap -> second session
+        ev(4, 1, 25), ev(5, 1, 85),
+        # user 2: 45-min gap -> second session
+        ev(6, 2, 45),
+    ]
+    src = str(tmp_path / "sess_src")
+    schema = "event_id long, user_id long, ts timestamp"
+    spark.createDataFrame(early, schema).coalesce(1).write.parquet(src)
+    spark.createDataFrame(late, schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out = user_sessionize_stream(stream)
+    import tempfile
+    import uuid
+
+    ckpt = f"{tempfile.gettempdir()}/s2sstest_{uuid.uuid4().hex[:8]}"
+    q = (
+        out.writeStream.format("memory")
+        .queryName("sess_test_out")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {
+        r.user_id: (r.n_sessions, r.n_events)
+        for r in spark.sql(
+            "SELECT user_id, max(n_sessions) AS n_sessions, "
+            "max(n_events) AS n_events FROM sess_test_out GROUP BY user_id"
+        ).collect()
+    }
+    assert got == {1: (2, 4), 2: (2, 2)}
