@@ -391,6 +391,42 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "region_id", "area_sr", "centroid_lat", "centroid_lon"
         )
 
+    def q_spatial_antijoin(spark, sf):
+        """Docs contained in NO region (the §2.7 anti-join arm as a
+        driver query): leftanti against the flagship join's matches."""
+        docs = _docs(spark, sf).select("doc_id", "lat", "lon", "cell_id")
+        matches = spatial_join(spark, docs, region_fixtures()).select(
+            "doc_id"
+        )
+        return docs.join(matches, "doc_id", "leftanti").select("doc_id")
+
+    def q_tile_top_docs(spark, sf):
+        """Top-3 documents by token count per level-4 tile — the
+        bread-and-butter per-tile ranking (window over the tile
+        prefix; dual-SQL oracle)."""
+        from pyspark.sql import Window
+
+        from s2_geometry_library_php_spark.functions.sql_bitops import (
+            s2_parent,
+        )
+
+        d = _docs(spark, sf).withColumn(
+            "n_tokens", token_count_column("text")
+        ).withColumn("tile_id", s2_parent(F.col("cell_id"), 4))
+        w = Window.partitionBy("tile_id").orderBy(
+            F.desc("n_tokens"), F.asc("doc_id")
+        )
+        return (
+            d.withColumn("rnk", F.row_number().over(w).cast("long"))
+            .where(F.col("rnk") <= 3)
+            .select(
+                s2_token_sql("tile_id").alias("tile_token"),
+                "doc_id",
+                "n_tokens",
+                "rnk",
+            )
+        )
+
     def q_exact_dedup(spark, sf):
         docs = spark.read.parquet(f"{sf}/documents.parquet")
         return exact_duplicate_groups(docs).select(
@@ -1004,6 +1040,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tile_counts_l8": q_tile_counts,
         "tile_rollup": q_tile_rollup,
         "spatial_join": q_spatial_join,
+        "spatial_antijoin": q_spatial_antijoin,
+        "tile_top_docs": q_tile_top_docs,
         "covering_tokens": q_covering,
         "knn": q_knn,
         "knn_regions": q_knn_regions,
@@ -1125,6 +1163,37 @@ def _kernel_oracles() -> dict[str, str]:
     )
     # the distributed-region path must produce the identical rows
     _ORACLE_CACHE["spatial_join_distributed"] = _ORACLE_CACHE["spatial_join"]
+    # anti-join: the complement of the matched doc set
+    _members = {int(d) for d, _r in rows}
+    _ORACLE_CACHE["spatial_antijoin"] = _values_sql(
+        [(int(d),) for d in doc_id if int(d) not in _members],
+        [("doc_id", "BIGINT")],
+    )
+    # per-tile top docs: geometry (tile token per doc) kernel-backed,
+    # token counts + ranking re-expressed in DuckDB SQL
+    _tile4 = cid.token_from_id(cid.parent(leaf, 4))
+    _tiles_values = _values_sql(
+        list(zip(doc_id.tolist(), _tile4)),
+        [("doc_id", "BIGINT"), ("tile_token", "VARCHAR")],
+    )
+    from s2_geometry_library_php_spark.functions.text import (
+        token_count_duckdb as _tcd,
+    )
+
+    _ORACLE_CACHE["tile_top_docs"] = f"""
+WITH tiles AS ({_tiles_values}),
+d AS (SELECT doc_id, {_tcd("text")} AS n_tokens FROM documents),
+r AS (
+  SELECT t.tile_token, d.doc_id, d.n_tokens,
+         row_number() OVER (
+           PARTITION BY t.tile_token
+           ORDER BY d.n_tokens DESC, d.doc_id ASC
+         ) AS rnk
+  FROM d JOIN tiles t USING (doc_id)
+)
+SELECT tile_token, doc_id, n_tokens, CAST(rnk AS BIGINT) AS rnk
+FROM r WHERE rnk <= 3
+"""
 
     # covering tokens (kernel-backed golden of the coverer itself)
     from s2_geometry_library_php_spark.operators.spatial_join import (
