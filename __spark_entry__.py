@@ -143,6 +143,10 @@ CROSSING_POLYLINES = POLYLINE_FIXTURES + [
     dict(line_id=4, vertices=[[5.0, 15.0], [50.0, 15.0]]),
     # clips the region-9 sliver triangle
     dict(line_id=5, vertices=[[-30.5, 105.0], [-29.9, 105.0]]),
+    # crosses line 3 near (42, -74.5)
+    dict(line_id=6, vertices=[[40.0, -74.5], [44.0, -74.5]]),
+    # crosses line 4 near (30, 15)
+    dict(line_id=7, vertices=[[30.0, 10.0], [30.0, 20.0]]),
 ]
 DIST_PROBE = (48.8566, 2.3522)
 
@@ -379,6 +383,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return polyline_region_crossing_join(
             spark, CROSSING_POLYLINES, region_fixtures()
         ).select("line_id", "region_id", "n_crossings")
+
+    def q_polyline_self_crossings(spark, sf):
+        """Polyline x polyline crossing join with BOTH sides
+        distributed (no broadcast): shuffled hash equi-join of raw
+        covering cells against ancestor-chain keys."""
+        from s2_geometry_library_php_spark.operators.polyline_join import (
+            polyline_self_crossing_join,
+        )
+
+        return polyline_self_crossing_join(spark, CROSSING_POLYLINES).select(
+            "line_a", "line_b", "n_crossings"
+        )
 
     def q_region_measures(spark, sf):
         """Loop/polygon area + true centroid as a native-SQL triangle
@@ -1048,6 +1064,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "region_measures": q_region_measures,
         "polyline_crossings": q_polyline_crossings,
         "tile_clipped_measures": q_tile_clipped_measures,
+        "polyline_self_crossings": q_polyline_self_crossings,
         "exact_dedup": q_exact_dedup,
         "minhash_pairs": q_minhash_pairs,
         "simhash": q_simhash,
@@ -1256,6 +1273,19 @@ FROM r WHERE rnk <= 3
         [
             ("line_id", "BIGINT"),
             ("region_id", "BIGINT"),
+            ("n_crossings", "BIGINT"),
+        ],
+    )
+
+    from s2_geometry_library_php_spark.operators.polyline_join import (
+        polyline_self_crossings_numpy,
+    )
+
+    _ORACLE_CACHE["polyline_self_crossings"] = _values_sql(
+        polyline_self_crossings_numpy(CROSSING_POLYLINES),
+        [
+            ("line_a", "BIGINT"),
+            ("line_b", "BIGINT"),
             ("n_crossings", "BIGINT"),
         ],
     )

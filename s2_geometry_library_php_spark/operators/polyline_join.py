@@ -372,3 +372,179 @@ def polyline_region_crossings_numpy(
             if n > 0:
                 out.append((lid, int(rspec["region_id"]), n))
     return out
+
+
+def polyline_self_crossing_join(
+    spark: SparkSession, polylines: list[dict]
+) -> DataFrame:
+    """Which polylines cross which OTHER polylines — the two-big-sides
+    variant of the edge-index probe: NO broadcast side.  Both arms of
+    the candidate join are shuffled hash equi-joins over covering
+    cells:
+
+      raw covering cells  ⋈  ancestor-chain keys  (on the cell id)
+
+    catches every ancestor-or-equal relation between two edges'
+    covering cells in ONE join, because for an unordered pair either
+    edge may supply the ancestor side and the (line_a < line_b)
+    normalization dedupes the two orientations.  Edge coverings are
+    computed IN EXECUTORS (mapInPandas-style pandas UDF over edge
+    rows) — at 100 TB both the edge explode and the covering are
+    data-side map work, and the only shuffles are the two equi-joins
+    plus the final pair aggregation.
+
+    Output: (line_a, line_b, n_crossings) for pairs with >= 1 proper
+    crossing between edges of DIFFERENT lines."""
+    from pyspark.sql.types import ArrayType, LongType
+
+    rows = []
+    for spec in polylines:
+        lid = int(spec["line_id"])
+        v = np.asarray(spec["vertices"], dtype=np.float64)
+        verts = geom.normalize(
+            geom.latlng_to_xyz(np.radians(v[:, 0]), np.radians(v[:, 1]))
+        )
+        for k in range(len(verts) - 1):
+            a, b = verts[k], verts[k + 1]
+            rows.append(
+                (lid, k, *[float(x) for x in a], *[float(x) for x in b])
+            )
+    edges = spark.createDataFrame(
+        rows,
+        "line_id long, edge long, ax double, ay double, az double, "
+        "bx double, by double, bz double",
+    )
+
+    @F.pandas_udf(ArrayType(LongType()))
+    def edge_cells(*cols: pd.Series) -> pd.Series:
+        from ..s2core.edges import edge_covering
+
+        n = len(cols[0])
+        if n == 0:
+            return pd.Series([], dtype=object)
+        m = [c.to_numpy(np.float64) for c in cols]
+        a = np.stack(m[0:3], axis=1)
+        b = np.stack(m[3:6], axis=1)
+        out = []
+        for i in range(n):
+            cov, _ = edge_covering(a[i], b[i])
+            out.append([_sig(c) for c in cov])
+        return pd.Series(out)
+
+    covered = edges.withColumn(
+        "cells",
+        edge_cells(
+            F.col("ax"), F.col("ay"), F.col("az"),
+            F.col("bx"), F.col("by"), F.col("bz"),
+        ),
+    )
+    # ancestor chain natively: parent at each level <= the cell's own
+    # (garbage parents above the cell's level are filtered by level)
+    from ..functions.sql_bitops import s2_level, s2_parent as s2_parent_col
+
+    raw = covered.select(
+        "line_id", "edge", F.explode("cells").alias("cell")
+    )
+    anc_levels = F.sequence(F.lit(0), s2_level(F.col("cell")))
+    anc = raw.select(
+        "line_id",
+        "edge",
+        F.explode(
+            F.transform(anc_levels, lambda lv: _parent_dyn(F.col("cell"), lv))
+        ).alias("cell"),
+    ).distinct()
+    _ = s2_parent_col
+    cand = (
+        anc.alias("pa")
+        .join(
+            raw.alias("pb"),
+            (F.col("pa.cell") == F.col("pb.cell"))
+            & (F.col("pa.line_id") != F.col("pb.line_id")),
+        )
+        .select(
+            F.least("pa.line_id", "pb.line_id").alias("line_a"),
+            F.greatest("pa.line_id", "pb.line_id").alias("line_b"),
+            F.when(
+                F.col("pa.line_id") < F.col("pb.line_id"), F.col("pa.edge")
+            ).otherwise(F.col("pb.edge")).alias("edge_a"),
+            F.when(
+                F.col("pa.line_id") < F.col("pb.line_id"), F.col("pb.edge")
+            ).otherwise(F.col("pa.edge")).alias("edge_b"),
+        )
+        .distinct()
+    )
+    ea = edges.select(
+        F.col("line_id").alias("line_a"), F.col("edge").alias("edge_a"),
+        "ax", "ay", "az", "bx", "by", "bz",
+    )
+    eb = edges.select(
+        F.col("line_id").alias("line_b"), F.col("edge").alias("edge_b"),
+        F.col("ax").alias("cx"), F.col("ay").alias("cy"),
+        F.col("az").alias("cz"), F.col("bx").alias("dx"),
+        F.col("by").alias("dy"), F.col("bz").alias("dz"),
+    )
+    pairs = cand.join(ea, ["line_a", "edge_a"]).join(eb, ["line_b", "edge_b"])
+
+    from pyspark.sql.types import BooleanType
+
+    @F.pandas_udf(BooleanType())
+    def crosses(*cols: pd.Series) -> pd.Series:
+        if len(cols[0]) == 0:
+            return pd.Series([], dtype=bool)
+        m = [c.to_numpy(np.float64) for c in cols]
+        a = np.stack(m[0:3], axis=1)
+        b = np.stack(m[3:6], axis=1)
+        c_ = np.stack(m[6:9], axis=1)
+        d = np.stack(m[9:12], axis=1)
+        return pd.Series(geom.robust_crossing_vec(a, b, c_, d) > 0)
+
+    hit = pairs.where(
+        crosses(
+            F.col("ax"), F.col("ay"), F.col("az"),
+            F.col("bx"), F.col("by"), F.col("bz"),
+            F.col("cx"), F.col("cy"), F.col("cz"),
+            F.col("dx"), F.col("dy"), F.col("dz"),
+        )
+    )
+    return hit.groupBy("line_a", "line_b").agg(
+        F.count(F.lit(1)).alias("n_crossings")
+    )
+
+
+def _parent_dyn(cell, level):
+    """Parent at a DYNAMIC level column (sql_bitops.s2_parent takes a
+    python int): lsb_l = 1 << (2*(30-l)); (cell & -lsb) | lsb.
+    shiftleft needs a literal count, so the power of two comes from
+    pow(2, .) — exact in double through 2^60, exact long cast."""
+    lsb = F.pow(F.lit(2.0), (F.lit(60) - level * F.lit(2)).cast("double")).cast(
+        "long"
+    )
+    return cell.bitwiseAND(-lsb).bitwiseOR(lsb)
+
+
+def polyline_self_crossings_numpy(polylines: list[dict]) -> list[tuple]:
+    """Brute all-pairs oracle for :func:`polyline_self_crossing_join`."""
+    chains = {}
+    for spec in polylines:
+        v = np.asarray(spec["vertices"], dtype=np.float64)
+        chains[int(spec["line_id"])] = geom.normalize(
+            geom.latlng_to_xyz(np.radians(v[:, 0]), np.radians(v[:, 1]))
+        )
+    ids = sorted(chains)
+    out = []
+    for i, la in enumerate(ids):
+        for lb in ids[i + 1 :]:
+            va, vb = chains[la], chains[lb]
+            n = 0
+            for p in range(len(va) - 1):
+                for q in range(len(vb) - 1):
+                    if (
+                        geom.robust_crossing(
+                            va[p], va[p + 1], vb[q], vb[q + 1]
+                        )
+                        > 0
+                    ):
+                        n += 1
+            if n > 0:
+                out.append((la, lb, n))
+    return out

@@ -243,3 +243,34 @@ def test_wedge_contains_or_intersects_cases():
         norm = loop_normalize(big[::-1])
         area_n, _ = geom.loop_area_centroid(norm)
         assert area_n <= 2 * np.pi + 1e-9
+
+
+def test_polyline_self_crossing_join_no_broadcast(spark):
+    """Both-sides-distributed crossing join: counts equal brute force,
+    and the plan contains no BroadcastNestedLoopJoin/CartesianProduct
+    (the whole point of the two-arm shuffled equi-join)."""
+    from s2_geometry_library_php_spark.operators.polyline_join import (
+        polyline_self_crossing_join,
+        polyline_self_crossings_numpy,
+    )
+
+    lines = [
+        dict(line_id=1, vertices=[[42.0, -77.0], [42.0, -72.0]]),
+        dict(line_id=2, vertices=[[40.0, -74.5], [44.0, -74.5]]),
+        dict(line_id=3, vertices=[[10.0, 10.0], [20.0, 20.0]]),
+        # chain crossing line 1 twice
+        dict(
+            line_id=4,
+            vertices=[[41.0, -76.0], [43.0, -75.0], [41.0, -74.0]],
+        ),
+    ]
+    df = polyline_self_crossing_join(spark, lines)
+    got = {(r.line_a, r.line_b): r.n_crossings for r in df.collect()}
+    want = {
+        (a, b): n for a, b, n in polyline_self_crossings_numpy(lines)
+    }
+    assert got == want
+    assert (1, 2) in got and got[(1, 4)] == 2
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
