@@ -132,8 +132,13 @@ def xyz_to_face(x: np.ndarray, y: np.ndarray, z: np.ndarray) -> np.ndarray:
 def valid_face_xyz_to_uv(
     face: np.ndarray, x: np.ndarray, y: np.ndarray, z: np.ndarray
 ) -> tuple[np.ndarray, np.ndarray]:
-    """Per-face (u,v) from xyz on that face (S2Projections.php:229-263)."""
-    with np.errstate(divide="ignore", invalid="ignore"):
+    """Per-face (u,v) from xyz on that face (S2Projections.php:229-263).
+
+    np.select evaluates every branch, so divisions by the OTHER faces'
+    near-zero components legitimately overflow/underflow — all three
+    float classes are suppressed; only the selected branch's values
+    survive."""
+    with np.errstate(divide="ignore", invalid="ignore", over="ignore"):
         u = np.select(
             [face == 0, face == 1, face == 2, face == 3, face == 4],
             [y / x, -x / y, -x / z, z / x, z / y],
