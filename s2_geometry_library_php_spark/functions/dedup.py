@@ -304,6 +304,18 @@ def simhash_near_pairs(
 
 
 # --- n-gram Jaccard ------------------------------------------------------------------
+def prefix_len_col(nsh, threshold: float):
+    """Prefix-filter length ``|S| - ceil(t*|S|) + 1`` as a native
+    column.  The 1e-9 epsilon guards the exact-integer boundary: when
+    t*|S| is mathematically integral the double product can land one
+    ulp high, and a bare ceil() would then shorten the prefix by one
+    token — dropping candidate pairs whose Jaccard is exactly at the
+    threshold (completeness guarantee violated at the boundary)."""
+    return (
+        nsh - F.ceil(F.lit(float(threshold)) * nsh - F.lit(1e-9)) + F.lit(1)
+    ).cast("int")
+
+
 def ngram_jaccard_pairs(
     docs: DataFrame,
     threshold: float = 0.5,
@@ -350,8 +362,7 @@ def ngram_jaccard_pairs(
             F.transform("ord", lambda s: s["t"]).alias("osh"),
         )
     )
-    nsh = F.size("osh")
-    plen = (nsh - F.ceil(F.lit(float(threshold)) * nsh) + F.lit(1)).cast("int")
+    plen = prefix_len_col(F.size("osh"), threshold)
     pref = ordered.select(
         "doc_id", "bucket", F.explode(F.slice("osh", 1, plen)).alias("t")
     )

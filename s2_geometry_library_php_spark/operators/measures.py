@@ -32,7 +32,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 FAN_SCHEMA = (
-    "region_id long, loop_sign double, "
+    "region_id long, loop_idx int, loop_sign double, "
     "ax double, ay double, az double, "
     "bx double, by double, bz double, "
     "cx double, cy double, cz double"
@@ -43,9 +43,13 @@ AREA_ROUND = 9
 CENTROID_ROUND = 6
 
 
-def _loop_fan_rows(region_id: int, sign: float, vertices: np.ndarray) -> list:
+def _loop_fan_rows(
+    region_id: int, loop_idx: int, sign: float, vertices: np.ndarray
+) -> list:
     """Fan triangles (origin, v[i], v[i+1]) with the canonical
-    displaced origin (S2Loop.php:258-319)."""
+    displaced origin (S2Loop.php:258-319).  ``loop_idx`` keys the
+    per-loop aggregation group so the 'fan sum < 0 -> +4pi' fixup can
+    be applied per loop before loops merge into the region sum."""
     from ..s2core import geom
 
     origin = vertices[0].copy()
@@ -61,6 +65,7 @@ def _loop_fan_rows(region_id: int, sign: float, vertices: np.ndarray) -> list:
         rows.append(
             (
                 region_id,
+                int(loop_idx),
                 float(sign),
                 *[float(x) for x in a],
                 *[float(x) for x in b],
@@ -99,12 +104,14 @@ def region_measure_frames(
                 (rid, lng_len * (math.sin(lat_hi) - math.sin(lat_lo)))
             )
         elif spec["kind"] == "loop":
-            fan_rows.extend(_loop_fan_rows(rid, 1.0, reg.vertices))
+            fan_rows.extend(_loop_fan_rows(rid, 0, 1.0, reg.vertices))
         elif spec["kind"] == "polygon":
             depths = polygon_loop_depths(reg.loops)
-            for lp, d in zip(reg.loops, depths):
+            for li, (lp, d) in enumerate(zip(reg.loops, depths)):
                 fan_rows.extend(
-                    _loop_fan_rows(rid, 1.0 if d % 2 == 0 else -1.0, lp.vertices)
+                    _loop_fan_rows(
+                        rid, li, 1.0 if d % 2 == 0 else -1.0, lp.vertices
+                    )
                 )
     return (
         spark.createDataFrame(fan_rows, FAN_SCHEMA),
@@ -196,25 +203,35 @@ def region_measures(
     getAreaCentroid on loops/polygons only)."""
     fan, closed = region_measure_frames(spark, region_specs)
     signed_area, cen = triangle_measure_cols()
-    per_loop = fan.select(
+    per_tri = fan.select(
         "region_id",
+        "loop_idx",
         "loop_sign",
         signed_area.alias("_sa"),
         cen[0].alias("_cx"),
         cen[1].alias("_cy"),
         cen[2].alias("_cz"),
     )
-    # per (region, sign) loop-group first: the areaSum<0 -> +4pi fixup
-    # is PER LOOP in the reference; fan sums are per-loop here because
-    # each loop's fan shares one region_id+sign group.  Loops of equal
-    # sign in one region merge AFTER the fixup would matter — for valid
-    # fixtures every CCW loop fan sums positive, so the fixup is a
-    # no-op and the grouped sum is exact (asserted by the oracle).
+    # Stage 1: per-LOOP fan sums, then the reference's 'areaSum < 0 ->
+    # += 4pi' fixup (S2Loop.php:258-319) — a valid but non-normalized
+    # loop (encloses more than half the sphere) fans to a negative raw
+    # sum and must be corrected BEFORE loops merge into the region sum.
+    # The centroid needs no fix (position integrates to zero over the
+    # full sphere).  Stage 2: region sum of sign * fixed loop areas.
+    per_loop = per_tri.groupBy("region_id", "loop_idx", "loop_sign").agg(
+        F.sum("_sa").alias("_la"),
+        F.sum("_cx").alias("_lx"),
+        F.sum("_cy").alias("_ly"),
+        F.sum("_cz").alias("_lz"),
+    )
+    fixed = F.col("_la") + F.when(
+        F.col("_la") < 0, F.lit(4.0 * math.pi)
+    ).otherwise(F.lit(0.0))
     agg = per_loop.groupBy("region_id").agg(
-        F.sum(F.col("loop_sign") * F.col("_sa")).alias("_area"),
-        F.sum(F.col("loop_sign") * F.col("_cx")).alias("_x"),
-        F.sum(F.col("loop_sign") * F.col("_cy")).alias("_y"),
-        F.sum(F.col("loop_sign") * F.col("_cz")).alias("_z"),
+        F.sum(F.col("loop_sign") * fixed).alias("_area"),
+        F.sum(F.col("loop_sign") * F.col("_lx")).alias("_x"),
+        F.sum(F.col("loop_sign") * F.col("_ly")).alias("_y"),
+        F.sum(F.col("loop_sign") * F.col("_lz")).alias("_z"),
     )
     loops_out = agg.select(
         "region_id",
@@ -384,8 +401,11 @@ TILE_FAN_SCHEMA = (
 
 
 def _tile_fan_rows(tok: str, sign: float, vertices: np.ndarray) -> list:
-    base = _loop_fan_rows(0, sign, vertices)
-    return [(tok, *r[1:]) for r in base]
+    # tile-clipped loops are sub-tile sized, never > half the sphere,
+    # so the per-loop +4pi fixup is structurally a no-op here and the
+    # loop_idx column is dropped.
+    base = _loop_fan_rows(0, 0, sign, vertices)
+    return [(tok, *r[2:]) for r in base]
 
 
 def tile_clipped_measures(

@@ -94,10 +94,35 @@ def _min_boundary_distance(region: PolygonRegion, p: np.ndarray) -> float:
 ON_BOUNDARY_EPS = 1e-14  # rad (~60 nm): float slack of an exact-overlap midpoint
 
 
+def _interiors_same_side(
+    mid: np.ndarray,
+    v0: np.ndarray,
+    v1: np.ndarray,
+    a_odd: bool,
+    b_edges: list,
+) -> bool:
+    """For a piece of an A edge lying ON B's boundary: True iff B's
+    interior lies on the SAME side of the shared geodesic as A's
+    (collinear overlap), False when the interiors face each other
+    (adjacency).  Sides are signed relative to the A edge direction:
+    a shell edge keeps its interior on the left, a hole edge on the
+    right, and an antiparallel B edge flips B's side."""
+    for w0, w1, bodd in b_edges:
+        if (
+            float(geom.edge_distance_radians(mid[None, :], w0, w1)[0])
+            <= ON_BOUNDARY_EPS
+        ):
+            d_sign = 1.0 if float(np.dot(w1 - w0, v1 - v0)) >= 0.0 else -1.0
+            s_a = -1.0 if a_odd else 1.0
+            s_b = (-1.0 if bodd else 1.0) * d_sign
+            return s_a == s_b
+    return True
+
+
 def clip_boundary(
     a: PolygonRegion, b: PolygonRegion, keep_inside_b: bool,
     reverse: bool = False,
-    boundary_inside: bool | None = None,
+    boundary_inside: bool | str | None = None,
 ) -> list[tuple[np.ndarray, np.ndarray]]:
     """Pieces of A's boundary that lie inside (or outside) B, oriented
     interior-on-the-left for the RESULT region.
@@ -115,9 +140,15 @@ def clip_boundary(
     collinear with a B edge — e.g. a region edge lying on an S2 face
     boundary shared with a cell edge): a piece whose midpoint sits ON
     B's boundary is declared inside/outside B by this flag instead of
-    the parity test, so the two passes of an intersection emit the
-    shared segment EXACTLY once (True on the A-pass, False on the
-    B-pass) and assembly chains close."""
+    the parity test (which is ill-defined on the boundary).  A bool is
+    a constant verdict (used on the second pass so the shared segment
+    is emitted at most once); the strings ``"same_side"`` /
+    ``"opposite_side"`` resolve DIRECTIONALLY — inside iff B's
+    interior is on the same (resp. opposite) side of the shared
+    geodesic as A's — which distinguishes true collinear overlap
+    (segment belongs to the result boundary) from mere adjacency
+    (interiors facing: the segment is interior to a union and
+    degenerate for an intersection, and must be dropped)."""
     out: list[tuple[np.ndarray, np.ndarray]] = []
     b_edges = list(_loop_edges(b))
     b_verts = np.vstack([lp.vertices for lp in b.loops])
@@ -162,7 +193,15 @@ def clip_boundary(
                 boundary_inside is not None
                 and _min_boundary_distance(b, mid) <= ON_BOUNDARY_EPS
             ):
-                inside = boundary_inside
+                if isinstance(boundary_inside, bool):
+                    inside = boundary_inside
+                else:
+                    same = _interiors_same_side(mid, v0, v1, odd, b_edges)
+                    inside = (
+                        same
+                        if boundary_inside == "same_side"
+                        else not same
+                    )
             if inside == keep_inside_b:
                 piece = (chain[i + 1], chain[i]) if flip else (chain[i], chain[i + 1])
                 out.append(piece)
@@ -240,27 +279,38 @@ def _to_polygon(loops_xyz: list[np.ndarray]) -> PolygonRegion:
 
 
 def polygon_intersection(a: PolygonRegion, b: PolygonRegion) -> PolygonRegion:
-    """A ∩ B (S2Polygon::initToIntersection semantics).  Exact
-    boundary overlaps are emitted once, from the A side
-    (boundary_inside asymmetry)."""
-    pieces = clip_boundary(a, b, True, boundary_inside=True) + clip_boundary(
-        b, a, True, boundary_inside=False
-    )
+    """A ∩ B (S2Polygon::initToIntersection semantics).  A shared
+    collinear segment belongs to the result iff the interiors overlap
+    on the same side; it is emitted once, from the A side (the B pass
+    always drops on-boundary pieces)."""
+    pieces = clip_boundary(
+        a, b, True, boundary_inside="same_side"
+    ) + clip_boundary(b, a, True, boundary_inside=False)
     return _to_polygon(assemble_loops(pieces))
 
 
 def polygon_union(a: PolygonRegion, b: PolygonRegion) -> PolygonRegion:
-    """A ∪ B (S2Polygon::initToUnion semantics)."""
-    pieces = clip_boundary(a, b, False) + clip_boundary(b, a, False)
+    """A ∪ B (S2Polygon::initToUnion semantics).  A shared collinear
+    segment stays on the union boundary iff the interiors overlap on
+    the same side (adjacent interiors merge across it); kept once,
+    from the A side — treat-as-outside keeps it on the keep-outside A
+    pass, while the B pass's constant True drops its copy."""
+    pieces = clip_boundary(
+        a, b, False, boundary_inside="opposite_side"
+    ) + clip_boundary(b, a, False, boundary_inside=True)
     return _to_polygon(assemble_loops(pieces))
 
 
 def polygon_difference(a: PolygonRegion, b: PolygonRegion) -> PolygonRegion:
     """A \\ B: A's boundary outside B plus B's boundary inside A
-    reversed (those pieces bound holes of the result)."""
-    pieces = clip_boundary(a, b, False) + clip_boundary(
-        b, a, True, reverse=True
-    )
+    reversed (those pieces bound holes of the result).  A shared
+    collinear segment survives on the A pass only when B's interior
+    faces AWAY (adjacency: the segment is still A's boundary); when
+    the interiors overlap it is subtracted away, and the B pass drops
+    on-boundary pieces unconditionally."""
+    pieces = clip_boundary(
+        a, b, False, boundary_inside="same_side"
+    ) + clip_boundary(b, a, True, reverse=True, boundary_inside=False)
     return _to_polygon(assemble_loops(pieces))
 
 

@@ -324,30 +324,45 @@ def polygon_preorder(
     return [(k, depths[k], loops[k]) for k in order]
 
 
-def polygon_contains_polygon(a: PolygonRegion, b: PolygonRegion) -> bool:
-    """A contains B iff every B shell is inside A and no A hole
-    intersects B (the containsAllShells / excludesAllHoles dispatch,
-    S2Polygon.php:971-1024), evaluated on the nesting depths."""
-    from .edges import contains_or_crosses, loop_intersects_loop
+def polygon_contains_or_crosses(p: PolygonRegion, b: LoopRegion) -> int:
+    """Polygon-level containsOrCrosses dispatch (S2Polygon.php:952-968):
+    +1 if loop B's region is contained by the polygon interior, -1 if
+    any boundary crosses B, 0 otherwise — parity XOR of the loop-level
+    contains_or_crosses over every polygon loop."""
+    from .edges import contains_or_crosses
 
-    a_depths = polygon_loop_depths(a.loops)
+    inside = False
+    for lp in p.loops:
+        r = contains_or_crosses(lp, b)
+        if r < 0:
+            return -1
+        if r > 0:
+            inside = not inside
+    return 1 if inside else 0
+
+
+def polygon_contains_polygon(a: PolygonRegion, b: PolygonRegion) -> bool:
+    """A contains B iff A contains every B shell and B excludes every
+    A hole — containsAllShells(b) && b.excludesAllHoles(a), both via
+    the parity-based polygon containsOrCrosses dispatch
+    (S2Polygon.php:952-1010).  The parity form correctly accepts the
+    'A hole nested inside a B hole' case (the hole lies in B's
+    complement, so containsOrCrosses == 0) that a raw loop-vs-loop
+    intersection test would reject."""
     b_depths = polygon_loop_depths(b.loops)
     for lp, d in zip(b.loops, b_depths):
         if d % 2 == 1:
             continue  # holes follow their shells
-        if not a.contains_points(lp.vertices).all():
+        if polygon_contains_or_crosses(a, lp) <= 0:
             return False
-        # shell must avoid every A boundary (no partial overlap)
-        for alp in a.loops:
-            if contains_or_crosses(alp, lp) < 0:
-                return False
-    # no A hole may intersect a B shell's interior
+    a_depths = polygon_loop_depths(a.loops)
     for alp, d in zip(a.loops, a_depths):
         if d % 2 == 0:
             continue
-        for blp, bd in zip(b.loops, b_depths):
-            if bd % 2 == 0 and loop_intersects_loop(alp, blp):
-                return False
+        # A hole contained by B (or crossing B) carves interior out of
+        # A that B still covers => not contained.
+        if polygon_contains_or_crosses(b, alp) != 0:
+            return False
     return True
 
 

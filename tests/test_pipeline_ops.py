@@ -60,6 +60,30 @@ def test_minhash_detects_near_duplicates(spark, docs):
     assert hit >= 28
 
 
+def test_prefix_len_exact_integer_boundary(spark):
+    """prefix_len_col must equal the exact integer arithmetic
+    |S| - ceil(t*|S|) + 1 for every set size — in particular where
+    t*|S| is mathematically an integer (e.g. t=0.7, |S|=10), where a
+    bare double ceil can round one ulp high and shorten the prefix."""
+    import math as _math
+    from fractions import Fraction
+
+    from s2_geometry_library_php_spark.functions.dedup import prefix_len_col
+
+    df = spark.createDataFrame([(n,) for n in range(1, 201)], "n int")
+    for t in (0.3, 0.5, 0.7, 0.75, 0.8, 0.9):
+        got = {
+            r.n: r.p
+            for r in df.select(
+                "n", prefix_len_col(F.col("n"), t).alias("p")
+            ).collect()
+        }
+        ft = Fraction(str(t))
+        for n in range(1, 201):
+            want = n - _math.ceil(ft * n) + 1
+            assert got[n] == want, (t, n, got[n], want)
+
+
 def test_simhash_hamming_zero_for_identical(spark, docs):
     from s2_geometry_library_php_spark.functions.dedup import (
         simhash_near_pairs,

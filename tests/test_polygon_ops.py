@@ -125,6 +125,75 @@ def test_tile_clipped_area_conservation(spark):
         assert abs(got[t] - want[t]) <= 2e-9, (t, got[t], want[t])
 
 
+def test_boolean_ops_shared_collinear_edges():
+    """Exact collinear boundary overlaps (adjacent quads sharing a
+    meridian edge; a quad nested flush against another's boundary)
+    must resolve by interior side, not midpoint parity: the shared
+    segment is kept once when the interiors overlap on the same side
+    and dropped when they merely face each other (adjacency)."""
+    pts = _pts(20000, seed=13)
+
+    # adjacency: A and B share the lng=10 meridian segment,
+    # interiors facing (antiparallel shared edges)
+    a = _quad(0.0, 10.0, 0.0, 10.0)
+    b = _quad(0.0, 10.0, 10.0, 20.0)
+    in_a, in_b = a.contains_points(pts), b.contains_points(pts)
+    assert np.array_equal(
+        polygon_union(a, b).contains_points(pts), in_a | in_b
+    )
+    assert np.array_equal(
+        polygon_difference(a, b).contains_points(pts), in_a & ~in_b
+    )
+    inter = polygon_intersection(a, b)
+    assert not inter.loops or not inter.contains_points(pts).any()
+
+    # flush nesting: B shares A's equator edge and sub-segments of
+    # both meridian edges, interiors on the SAME side
+    c = _quad(0.0, 5.0, 0.0, 10.0)
+    in_c = c.contains_points(pts)
+    assert np.array_equal(
+        polygon_intersection(a, c).contains_points(pts), in_a & in_c
+    )
+    assert np.array_equal(
+        polygon_union(a, c).contains_points(pts), in_a | in_c
+    )
+    assert np.array_equal(
+        polygon_difference(a, c).contains_points(pts), in_a & ~in_c
+    )
+
+
+def test_region_measures_non_normalized_loop_fixup(spark):
+    """A valid but non-normalized loop (encloses MORE than half the
+    sphere — the reversed small quad) fans to a negative raw sum; the
+    native-SQL path must apply the reference's per-loop 'areaSum < 0
+    -> += 4pi' fixup (S2Loop.php:258-319) and agree with the kernel
+    twin: area = 4pi - small_quad_area."""
+    import math
+
+    from s2_geometry_library_php_spark.operators.measures import (
+        region_measures,
+        region_measures_numpy,
+    )
+
+    quad_ccw = [0.0, 0.0, 0.0, 10.0, 10.0, 10.0, 10.0, 0.0]
+    inverted = []
+    for k in range(len(quad_ccw) - 2, -2, -2):
+        inverted.extend(quad_ccw[k : k + 2])
+    specs = [
+        {"region_id": 1, "kind": "loop", "params": quad_ccw},
+        {"region_id": 2, "kind": "loop", "params": inverted},
+    ]
+    got = {
+        r.region_id: (r.area_sr, r.centroid_lat, r.centroid_lon)
+        for r in region_measures(spark, specs).collect()
+    }
+    want = {r[0]: (r[1], r[2], r[3]) for r in region_measures_numpy(specs)}
+    for rid in (1, 2):
+        assert abs(got[rid][0] - want[rid][0]) <= 2e-9, (rid, got, want)
+    assert abs((got[1][0] + got[2][0]) - 4.0 * math.pi) < 1e-6
+    assert got[2][0] > 2.0 * math.pi  # fixup applied, not negative
+
+
 def test_polygon_intersection_with_hole_clips():
     """Round-1 regression: clipping a tile-sized quad against a
     shell+hole polygon across the HOLE boundary must produce loops

@@ -498,6 +498,37 @@ def test_polygon_nesting_depths_and_contains():
     assert polygon_contains_polygon(big, inner)
 
 
+def test_polygon_contains_polygon_hole_in_hole_parity():
+    """A's hole nested inside B's hole is a LEGAL containment case:
+    the hole lies in B's complement, so the parity-based
+    containsOrCrosses dispatch returns 0 for it (excludesAllHoles,
+    S2Polygon.php:999-1010) — a raw loop-vs-loop intersection test
+    would wrongly reject it."""
+    from s2_geometry_library_php_spark.s2core.region import (
+        polygon_contains_polygon,
+        region_from_params,
+    )
+
+    def donut(lo, hi, hlo, hhi):
+        return region_from_params(
+            "polygon",
+            [lo, lo, lo, hi, hi, hi, hi, lo,
+             hlo, hlo, hlo, hhi, hhi, hhi, hhi, hlo],
+            [0, 4],
+        )
+
+    a = donut(0.0, 30.0, 10.0, 20.0)   # big shell, small hole
+    b = donut(2.0, 28.0, 8.0, 22.0)    # nested shell, BIGGER hole
+    # every point of B (annulus outside its big hole) is in A's
+    # annulus: shell_B ⊆ shell_A and hole_A ⊆ hole_B
+    assert polygon_contains_polygon(a, b)
+    assert not polygon_contains_polygon(b, a)
+    # swap hole sizes: A's hole now pokes into B's interior
+    a2 = donut(0.0, 30.0, 8.0, 22.0)
+    b2 = donut(2.0, 28.0, 10.0, 20.0)
+    assert not polygon_contains_polygon(a2, b2)
+
+
 def test_ingest_validation_rejects_bad_geometry():
     import pytest as _pytest
 
