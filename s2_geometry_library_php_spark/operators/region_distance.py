@@ -115,19 +115,134 @@ def rect_distance_col(lat_col, lon_col):
     return F.when(lng_contains, lat_clamp).otherwise(meridian_dist)
 
 
+BLOCK_SCHEMA = (
+    "block_id int, blat double, blng double, bangle double, "
+    "n_regions int, region_ids array<long>"
+)
+
+
+def region_cap_blocks(
+    region_specs: list[dict], block_size: int
+) -> list[tuple]:
+    """Hilbert-ordered blocks of region cap bounds, each folded into
+    ONE enclosing cap with ``Cap.add_cap`` (S2Cap.php:259-276) — the
+    cap-union accumulation the multi-region kNN prune ranks against.
+    Every block holds >= block_size regions (the tail merges into the
+    last full block) so a block's outer radius upper-bounds the
+    distance to at least block_size member regions."""
+    from ..s2core import cellid as cid_mod
+    from ..s2core import geom as geom_mod
+    from ..s2core.cell import Cap
+    from ..s2core.region import region_from_params
+
+    caps = []
+    for spec in region_specs:
+        reg = region_from_params(
+            spec["kind"], spec["params"], spec.get("loop_offsets")
+        )
+        caps.append((int(spec["region_id"]), reg.get_cap_bound()))
+    # Hilbert locality: neighbors in key order are neighbors on the
+    # sphere, so block caps stay tight.
+    import numpy as np
+
+    axes = np.vstack([c.axis for _, c in caps])
+    keys = cid_mod.cell_id_from_point(axes[:, 0], axes[:, 1], axes[:, 2])
+    order = np.argsort(keys.astype(np.uint64))
+    rows = []
+    n = len(caps)
+    n_blocks = max(1, n // block_size)
+    for bi in range(n_blocks):
+        lo = bi * block_size
+        hi = (bi + 1) * block_size if bi < n_blocks - 1 else n
+        acc = Cap.empty()
+        ids = []
+        for j in order[lo:hi]:
+            rid, cap = caps[int(j)]
+            acc = acc.add_cap(cap)
+            ids.append(rid)
+        blat, blng = geom_mod.xyz_to_latlng(acc.axis)
+        rows.append(
+            (
+                bi,
+                float(blat),
+                float(blng),
+                float(acc.angle_radians()),
+                len(ids),
+                ids,
+            )
+        )
+    return rows
+
+
 def knn_regions(
     spark: SparkSession,
     probes: DataFrame,
     region_specs: list[dict],
     k: int,
     probe_id: str = "probe_id",
+    prune_threshold: int = 1000,
+    block_size: int = 32,
 ) -> DataFrame:
     """k nearest regions per probe, by distance to each region's
     exact rect bound.  Output: (probe_id, region_id, rank, dist6);
     ranking key is the ROUNDED distance with region_id tiebreak
-    (deterministic, engine-portable)."""
+    (deterministic, engine-portable).
+
+    Plan shape: for a dimension-sized region set (<= prune_threshold)
+    every probe ranks every region — a broadcast crossJoin is the
+    right plan and stays.  Above the threshold a BLOCK-CAP PRUNE runs
+    first: region cap bounds fold into Hilbert-ordered block caps
+    (``Cap.add_cap`` accumulation), each probe scores blocks with one
+    cheap great-circle angle, takes the tightest block's outer radius
+    as a provable k-th-distance upper bound (every block holds >= k
+    regions), and only regions in blocks whose LOWER bound beats it
+    reach the exact rect-distance expression.  Both phases are
+    broadcast joins; the only pre-top-k shuffle is the per-probe min
+    aggregation, map-side-combined down to one row per probe — the
+    plan survives 100x more probes or regions unchanged."""
     rects = regions_rect_df(spark, region_specs)
-    joined = probes.crossJoin(F.broadcast(rects))
+    if len(region_specs) <= max(prune_threshold, 2 * max(block_size, k)):
+        joined = probes.crossJoin(F.broadcast(rects))
+    else:
+        blocks = spark.createDataFrame(
+            region_cap_blocks(region_specs, max(block_size, k)),
+            BLOCK_SCHEMA,
+        )
+        plat = F.radians(F.col("lat"))
+        plng = F.radians(
+            F.when(F.col("lon") == F.lit(-180.0), F.lit(180.0)).otherwise(
+                F.col("lon")
+            )
+        )
+        ang = _angle_to(plat, plng, F.col("blat"), F.col("blng"))
+        blocks_geo = blocks.select("block_id", "blat", "blng", "bangle")
+        # Pass 1: per-probe k-th-distance upper bound = min over blocks
+        # of (angle to block axis + block radius) — every block carries
+        # >= k regions, all within that bound.  groupBy keeps the
+        # shuffle at ONE row per probe (map-side partial min), unlike a
+        # window over the probe x block fan-out.
+        kth = (
+            probes.crossJoin(F.broadcast(blocks_geo))
+            .groupBy(probe_id, "lat", "lon")
+            .agg(F.min(ang + F.col("bangle")).alias("_kth_ub"))
+        )
+        # Pass 2: recompute each block's lower bound against the
+        # per-probe threshold; only surviving blocks explode into
+        # candidate regions for the exact rect distance.
+        cand = (
+            kth.crossJoin(F.broadcast(blocks))
+            .where(
+                F.greatest(F.lit(0.0), ang - F.col("bangle"))
+                <= F.col("_kth_ub")
+            )
+            .select(
+                probe_id,
+                "lat",
+                "lon",
+                F.explode("region_ids").alias("region_id"),
+            )
+        )
+        joined = cand.join(F.broadcast(rects), "region_id")
     dist6 = F.round(rect_distance_col(F.col("lat"), F.col("lon")), 6)
     w = Window.partitionBy(probe_id).orderBy(
         F.col("dist6").asc(), F.col("region_id").asc()

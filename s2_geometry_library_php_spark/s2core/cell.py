@@ -448,6 +448,25 @@ class Cap:
         dist2 = dx * dx + dy * dy + dz * dz
         return Cap(self.axis, max(self.height, ROUND_UP * 0.5 * dist2))
 
+    def add_cap(self, other: "Cap") -> "Cap":
+        """Grow this cap (keeping its axis) until it includes
+        ``other`` (S2Cap.php:259-276): empty self adopts other; the
+        opening angle widens to reach other's far rim, saturating to
+        the full cap at pi.  The multi-region kNN prune folds region
+        cap bounds into block caps with this."""
+        if self.is_empty():
+            return Cap(other.axis.copy(), other.height)
+        if other.is_empty():
+            return Cap(self.axis.copy(), self.height)
+        angle = (
+            float(geom.angle_between(self.axis, other.axis))
+            + other.angle_radians()
+        )
+        if angle >= M_PI:
+            return Cap(self.axis, 2.0)
+        d = math.sin(0.5 * angle)
+        return Cap(self.axis, max(self.height, ROUND_UP * 2 * d * d))
+
     def contains_cap(self, other: "Cap") -> bool:
         if self.is_full() or other.is_empty():
             return True

@@ -288,6 +288,56 @@ def test_simple_covering_flood_fill():
     assert {int(p) for p in parents} <= cov_set
 
 
+def test_cap_add_cap_invariants():
+    """S2Cap::addCap (S2Cap.php:259-276): the grown cap contains both
+    inputs (in either argument order), empty adopts the other side,
+    and opposite-hemisphere caps saturate to full."""
+    import numpy as np
+
+    from s2_geometry_library_php_spark.s2core import geom
+    from s2_geometry_library_php_spark.s2core.cell import Cap
+
+    rng = np.random.default_rng(23)
+    lat = rng.uniform(-80, 80, 40)
+    lng = rng.uniform(-170, 170, 40)
+    axes = geom.latlng_to_xyz(np.radians(lat), np.radians(lng))
+    angles = rng.uniform(0.001, 0.6, 40)
+    caps = [Cap.from_axis_angle(axes[i], float(angles[i])) for i in range(40)]
+
+    def contains_with_ulp_slack(u, t):
+        # ROUND_UP slack on the height does not always survive the
+        # asin round-trip of angle_radians (same caveat as canonical
+        # S2); allow 1e-14 rad on top of the exact test.
+        if u.contains_cap(t):
+            return True
+        return u.angle_radians() + 1e-14 >= float(
+            geom.angle_between(u.axis, t.axis)
+        ) + t.angle_radians()
+
+    for i in range(0, 40, 2):
+        a, b = caps[i], caps[i + 1]
+        for u in (a.add_cap(b), b.add_cap(a)):
+            assert contains_with_ulp_slack(u, a), i
+            assert contains_with_ulp_slack(u, b), i
+    # empty adopts
+    e = Cap.empty().add_cap(caps[0])
+    assert abs(e.height - caps[0].height) < 1e-15
+    assert np.allclose(e.axis, caps[0].axis)
+    assert caps[0].add_cap(Cap.empty()).contains_cap(caps[0])
+    # antipodal saturation
+    n = Cap.from_axis_angle(np.array([0.0, 0.0, 1.0]), 0.5)
+    s = Cap.from_axis_angle(np.array([0.0, 0.0, -1.0]), 0.5)
+    assert n.add_cap(s).is_full()
+    # rim points of b are inside the union cap
+    a, b = caps[0], caps[1]
+    u = a.add_cap(b)
+    ortho = np.cross(b.axis, [0.0, 0.0, 1.0])
+    ortho = ortho / np.linalg.norm(ortho)
+    th = b.angle_radians()
+    rim = b.axis * np.cos(th) + ortho * np.sin(th)
+    assert u.contains_point(rim)
+
+
 # --- rect distance (S2LatLngRect.getDistance) -----------------------------------
 def test_rect_distance_point_invariants():
     import math

@@ -105,6 +105,74 @@ def test_knn_matches_brute_force(spark, docs):
     assert bf == fast
 
 
+def test_knn_regions_block_cap_prune_matches_brute(spark):
+    """Above the dimension threshold knn_regions must run the
+    block-cap prune (add_cap-folded block bounds, per-probe k-th
+    upper bound) and return EXACTLY the brute crossJoin ranking."""
+    import math as _math
+
+    import numpy as np
+
+    from s2_geometry_library_php_spark.operators.region_distance import (
+        knn_regions,
+    )
+
+    rng = np.random.default_rng(31)
+    specs = []
+    for i in range(300):
+        if i % 3 == 0:
+            specs.append(
+                {
+                    "region_id": i,
+                    "kind": "cap",
+                    "params": [
+                        float(rng.uniform(-70, 70)),
+                        float(rng.uniform(-170, 170)),
+                        float(rng.uniform(0.01, 0.2)),
+                    ],
+                }
+            )
+        else:
+            lat0 = float(rng.uniform(-70, 60))
+            lng0 = float(rng.uniform(-170, 150))
+            specs.append(
+                {
+                    "region_id": i,
+                    "kind": "rect",
+                    "params": [
+                        _math.radians(lat0),
+                        _math.radians(lat0 + float(rng.uniform(1, 8))),
+                        _math.radians(lng0),
+                        _math.radians(lng0 + float(rng.uniform(1, 12))),
+                    ],
+                }
+            )
+    probes = spark.createDataFrame(
+        [
+            (int(i), float(rng.uniform(-85, 85)), float(rng.uniform(-180, 180)))
+            for i in range(20)
+        ],
+        "probe_id long, lat double, lon double",
+    )
+    brute = sorted(
+        map(
+            tuple,
+            knn_regions(
+                spark, probes, specs, 5, prune_threshold=10**6
+            ).collect(),
+        )
+    )
+    pruned_df = knn_regions(
+        spark, probes, specs, 5, prune_threshold=50, block_size=16
+    )
+    pruned = sorted(map(tuple, pruned_df.collect()))
+    assert brute == pruned
+    plan = pruned_df._jdf.queryExecution().executedPlan().toString()
+    # the block prune ran: candidate explode + no non-broadcast product
+    assert "explode" in plan
+    assert "CartesianProduct" not in plan
+
+
 def test_tile_rollup_conserves_counts(docs):
     from s2_geometry_library_php_spark.operators import (
         tile_aggregate,
