@@ -92,6 +92,13 @@ def _min_boundary_distance(region: PolygonRegion, p: np.ndarray) -> float:
 
 
 ON_BOUNDARY_EPS = 1e-14  # rad (~60 nm): float slack of an exact-overlap midpoint
+# Assembly vertex-merge radius (chord): far above float noise on
+# clip crossings (bit-identical across passes) and 100x above 1e-12
+# input jitter, far below any real vertex separation.  The reference
+# sizes its merge index from MIN_WIDTH(level)
+# (S2PolygonBuilder.php:661-663); a fixed sub-nanoradian default
+# plays the same role for driver-side assembly.
+DEFAULT_SNAP_RADIUS = 1e-10
 
 
 def _interiors_same_side(
@@ -215,12 +222,46 @@ def _key(p: np.ndarray) -> tuple:
     return tuple(np.round(p, 14))
 
 
+def snap_pieces(
+    pieces: list[tuple[np.ndarray, np.ndarray]], snap_radius: float
+) -> list[tuple[np.ndarray, np.ndarray]]:
+    """Merge piece endpoints closer than ``snap_radius`` (chord
+    distance) to one representative — the S2PolygonBuilder
+    vertex-merge index (S2PolygonBuilder.php:661-663, merge radius
+    sized from MIN_WIDTH), so near-coincident vertices from noisy
+    input chain exactly.  Greedy first-representative clustering
+    (piece counts are driver-side small); pieces collapsing to a
+    point are dropped."""
+    reps: list[np.ndarray] = []
+
+    def rep(p: np.ndarray) -> np.ndarray:
+        for r in reps:
+            d = p - r
+            if float(np.dot(d, d)) <= snap_radius * snap_radius:
+                return r
+        reps.append(p)
+        return p
+
+    out: list[tuple[np.ndarray, np.ndarray]] = []
+    for p, q in pieces:
+        rp, rq = rep(p), rep(q)
+        if np.array_equal(rp, rq):
+            continue
+        out.append((rp, rq))
+    return out
+
+
 def assemble_loops(
-    pieces: list[tuple[np.ndarray, np.ndarray]]
+    pieces: list[tuple[np.ndarray, np.ndarray]],
+    snap_radius: float = 0.0,
 ) -> list[np.ndarray]:
     """Chain directed edge pieces into closed loops (the
     S2PolygonBuilder assembly, S2PolygonBuilder.php:432-495, for the
-    degenerate-free output of clip_boundary)."""
+    degenerate-free output of clip_boundary).  A positive
+    ``snap_radius`` first merges near-coincident endpoints (see
+    :func:`snap_pieces`)."""
+    if snap_radius > 0.0:
+        pieces = snap_pieces(pieces, snap_radius)
     start_index: dict[tuple, list[int]] = {}
     for idx, (p, _q) in enumerate(pieces):
         start_index.setdefault(_key(p), []).append(idx)
@@ -278,7 +319,9 @@ def _to_polygon(loops_xyz: list[np.ndarray]) -> PolygonRegion:
     return PolygonRegion(loops)
 
 
-def polygon_intersection(a: PolygonRegion, b: PolygonRegion) -> PolygonRegion:
+def polygon_intersection(
+    a: PolygonRegion, b: PolygonRegion, snap_radius: float = DEFAULT_SNAP_RADIUS
+) -> PolygonRegion:
     """A ∩ B (S2Polygon::initToIntersection semantics).  A shared
     collinear segment belongs to the result iff the interiors overlap
     on the same side; it is emitted once, from the A side (the B pass
@@ -286,10 +329,12 @@ def polygon_intersection(a: PolygonRegion, b: PolygonRegion) -> PolygonRegion:
     pieces = clip_boundary(
         a, b, True, boundary_inside="same_side"
     ) + clip_boundary(b, a, True, boundary_inside=False)
-    return _to_polygon(assemble_loops(pieces))
+    return _to_polygon(assemble_loops(pieces, snap_radius=snap_radius))
 
 
-def polygon_union(a: PolygonRegion, b: PolygonRegion) -> PolygonRegion:
+def polygon_union(
+    a: PolygonRegion, b: PolygonRegion, snap_radius: float = DEFAULT_SNAP_RADIUS
+) -> PolygonRegion:
     """A ∪ B (S2Polygon::initToUnion semantics).  A shared collinear
     segment stays on the union boundary iff the interiors overlap on
     the same side (adjacent interiors merge across it); kept once,
@@ -298,10 +343,12 @@ def polygon_union(a: PolygonRegion, b: PolygonRegion) -> PolygonRegion:
     pieces = clip_boundary(
         a, b, False, boundary_inside="opposite_side"
     ) + clip_boundary(b, a, False, boundary_inside=True)
-    return _to_polygon(assemble_loops(pieces))
+    return _to_polygon(assemble_loops(pieces, snap_radius=snap_radius))
 
 
-def polygon_difference(a: PolygonRegion, b: PolygonRegion) -> PolygonRegion:
+def polygon_difference(
+    a: PolygonRegion, b: PolygonRegion, snap_radius: float = DEFAULT_SNAP_RADIUS
+) -> PolygonRegion:
     """A \\ B: A's boundary outside B plus B's boundary inside A
     reversed (those pieces bound holes of the result).  A shared
     collinear segment survives on the A pass only when B's interior
@@ -311,7 +358,7 @@ def polygon_difference(a: PolygonRegion, b: PolygonRegion) -> PolygonRegion:
     pieces = clip_boundary(
         a, b, False, boundary_inside="same_side"
     ) + clip_boundary(b, a, True, reverse=True, boundary_inside=False)
-    return _to_polygon(assemble_loops(pieces))
+    return _to_polygon(assemble_loops(pieces, snap_radius=snap_radius))
 
 
 def polygon_to_spec(

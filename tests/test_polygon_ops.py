@@ -162,6 +162,41 @@ def test_boolean_ops_shared_collinear_edges():
     )
 
 
+def test_boolean_ops_survive_vertex_jitter():
+    """Snap-radius assembly (S2PolygonBuilder.php:661-663 vertex-merge
+    index): 1e-12 xyz jitter applied independently per polygon —
+    near-coincident 'shared' vertices no longer match exactly, so
+    chaining must merge them within the snap radius.  Pointwise set
+    algebra still holds on a random sample (no sample point lands in
+    the 1e-12 boundary band)."""
+    from s2_geometry_library_php_spark.s2core.region import (
+        LoopRegion,
+        PolygonRegion,
+    )
+
+    rng = np.random.default_rng(41)
+
+    def jitter(poly):
+        loops = []
+        for lp in poly.loops:
+            v = lp.vertices + rng.uniform(-1e-12, 1e-12, lp.vertices.shape)
+            v = v / np.linalg.norm(v, axis=1, keepdims=True)
+            loops.append(LoopRegion.from_xyz(v))
+        return PolygonRegion(loops)
+
+    pts = _pts(20000, seed=17)
+    for name, a0, b0 in CASES:
+        a, b = jitter(a0), jitter(b0)
+        in_a, in_b = a.contains_points(pts), b.contains_points(pts)
+        for op, fn, ref in (
+            ("intersection", polygon_intersection, in_a & in_b),
+            ("union", polygon_union, in_a | in_b),
+            ("difference", polygon_difference, in_a & ~in_b),
+        ):
+            got = fn(a, b).contains_points(pts)
+            assert np.array_equal(got, ref), (name, op)
+
+
 def test_region_measures_non_normalized_loop_fixup(spark):
     """A valid but non-normalized loop (encloses MORE than half the
     sphere — the reversed small quad) fans to a negative raw sum; the
