@@ -28,9 +28,44 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import ArrayType, LongType, StringType
 
-NUM_HASHES = 16  # MinHash signature length
+NUM_HASHES = 16  # MinHash signature length (oracle default)
 BANDS = 4  # LSH bands (rows per band = NUM_HASHES / BANDS)
 SHINGLE = 3  # words per shingle
+
+
+def calibrate_banding(
+    threshold: float,
+    target_prob: float = 0.9,
+    max_perms: int = 64,
+) -> tuple[int, int]:
+    """(n_perm, bands) for a target Jaccard threshold via the standard
+    LSH S-curve ``P(s) = 1 - (1 - s^r)^b``: among factorizations with
+    r*b <= max_perms whose detection probability AT the threshold
+    meets ``target_prob``, pick the one minimizing the false-positive
+    integral of P over [0, t) (steepest affordable curve), tiebreak
+    fewer permutations.  The fixed (16, 4) module default remains the
+    oracle configuration; this derives deployment parameters from the
+    threshold a user actually cares about."""
+    if not 0.0 < threshold < 1.0:
+        raise ValueError(f"threshold must be in (0,1), got {threshold}")
+    s = np.linspace(0.0, threshold, 65)
+    best = None
+    for r in range(1, max_perms + 1):
+        for b in range(1, max_perms // r + 1):
+            p_t = 1.0 - (1.0 - threshold**r) ** b
+            if p_t < target_prob:
+                continue
+            y = 1.0 - (1.0 - s**r) ** b
+            fp = float(np.sum(0.5 * (y[1:] + y[:-1]) * np.diff(s)))
+            key = (fp, r * b)
+            if best is None or key < best[0]:
+                best = (key, (r * b, b))
+    if best is None:
+        raise ValueError(
+            f"no banding with <= {max_perms} perms reaches "
+            f"P({threshold}) >= {target_prob}"
+        )
+    return best[1]
 
 
 # --- shared shingle SQL (Spark) -------------------------------------------------
@@ -69,10 +104,12 @@ def exact_duplicate_groups(docs: DataFrame, text_col: str = "text") -> DataFrame
 
 
 # --- MinHash (native SQL formulation) ------------------------------------------------
-def minhash_signature_sql(docs: DataFrame, text_col: str = "text") -> DataFrame:
-    """(doc_id, sig array<string> of NUM_HASHES md5-min hex strings).
+def minhash_signature_sql(
+    docs: DataFrame, text_col: str = "text", n_perm: int = NUM_HASHES
+) -> DataFrame:
+    """(doc_id, mh0..mh{n_perm-1} md5-min hex strings).
 
-    Native formulation: explode shingles once, take NUM_HASHES salted
+    Native formulation: explode shingles once, take n_perm salted
     mins in a single groupBy (partial aggregation map-side).
     """
     sh = docs.select("doc_id", F.explode(shingles_column(text_col)).alias("sh"))
@@ -80,19 +117,32 @@ def minhash_signature_sql(docs: DataFrame, text_col: str = "text") -> DataFrame:
         F.min(F.md5(F.concat(F.lit(str(k)), F.col("sh")).cast("binary"))).alias(
             f"mh{k}"
         )
-        for k in range(NUM_HASHES)
+        for k in range(n_perm)
     ]
     sig = sh.groupBy("doc_id").agg(*aggs)
     return sig
 
 
-def minhash_band_pairs(docs: DataFrame, text_col: str = "text") -> DataFrame:
+def minhash_band_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    threshold: float | None = None,
+    n_perm: int = NUM_HASHES,
+    bands: int = BANDS,
+) -> DataFrame:
     """LSH candidate duplicate pairs: docs sharing any band key.
-    Output: (doc_a, doc_b) with doc_a < doc_b, distinct."""
-    sig = minhash_signature_sql(docs, text_col)
-    rows_per_band = NUM_HASHES // BANDS
+    Output: (doc_a, doc_b) with doc_a < doc_b, distinct.
+
+    With ``threshold`` set, (n_perm, bands) come from
+    :func:`calibrate_banding` so detection probability at that
+    Jaccard similarity is >= 0.9; the bare defaults stay on the fixed
+    (16, 4) oracle configuration."""
+    if threshold is not None:
+        n_perm, bands = calibrate_banding(threshold)
+    sig = minhash_signature_sql(docs, text_col, n_perm=n_perm)
+    rows_per_band = n_perm // bands
     band_cols = []
-    for b in range(BANDS):
+    for b in range(bands):
         parts = [F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)]
         band_cols.append(
             F.struct(F.lit(b).alias("band"), F.md5(F.concat(*parts).cast("binary")).alias("key"))

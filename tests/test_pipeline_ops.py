@@ -60,6 +60,60 @@ def test_minhash_detects_near_duplicates(spark, docs):
     assert hit >= 28
 
 
+def test_minhash_banding_calibration_detects_at_threshold():
+    """calibrate_banding's (n_perm, bands) must give detection
+    probability >= 0.9 AT the target Jaccard threshold — closed-form
+    on the S-curve, and empirically on seeded corpora run through the
+    pipeline's own salted-md5 min-hash scheme."""
+    import hashlib
+
+    from s2_geometry_library_php_spark.functions.dedup import (
+        calibrate_banding,
+    )
+
+    for t in (0.5, 0.7, 0.8, 0.9):
+        n_perm, bands = calibrate_banding(t)
+        assert n_perm % bands == 0
+        r = n_perm // bands
+        assert 1.0 - (1.0 - t**r) ** bands >= 0.9, (t, n_perm, bands)
+
+    t = 0.7
+    n_perm, bands = calibrate_banding(t)
+    r = n_perm // bands
+
+    def sig(shingles):
+        return [
+            min(
+                hashlib.md5((str(k) + s).encode()).hexdigest()
+                for s in shingles
+            )
+            for k in range(n_perm)
+        ]
+
+    def share_band(sa, sb):
+        return any(
+            sa[b * r : (b + 1) * r] == sb[b * r : (b + 1) * r]
+            for b in range(bands)
+        )
+
+    trials = 200
+    det = 0
+    far = 0
+    for i in range(trials):
+        common = [f"c{i}_{j}" for j in range(14)]
+        ua = [f"a{i}_{j}" for j in range(3)]
+        ub = [f"b{i}_{j}" for j in range(3)]
+        # |A ∩ B| = 14, |A ∪ B| = 20 -> Jaccard exactly 0.7
+        det += share_band(sig(common + ua), sig(common + ub))
+        # Jaccard 5/25 = 0.2: S-curve tail, should almost never fire
+        common2 = [f"d{i}_{j}" for j in range(5)]
+        ua2 = [f"e{i}_{j}" for j in range(10)]
+        ub2 = [f"f{i}_{j}" for j in range(10)]
+        far += share_band(sig(common2 + ua2), sig(common2 + ub2))
+    assert det / trials >= 0.85, det  # >= 0.9 minus sampling noise
+    assert far / trials <= 0.10, far
+
+
 def test_prefix_len_exact_integer_boundary(spark):
     """prefix_len_col must equal the exact integer arithmetic
     |S| - ceil(t*|S|) + 1 for every set size — in particular where
