@@ -280,6 +280,61 @@ def test_extract_text_byte_identical(spark, docs):
     assert bad == 0
 
 
+def test_streaming_spatial_join_equals_batch(spark, docs):
+    """Stream-static covering join: an availableNow pass over the same
+    parquet must reproduce the batch spatial_join row-for-row (every
+    stage is stateless per row)."""
+    from s2_geometry_library_php_spark.functions import s2_cell_id
+    from s2_geometry_library_php_spark.operators import spatial_join
+    from s2_geometry_library_php_spark.sources.documents import (
+        stream_documents,
+    )
+    from s2_geometry_library_php_spark.streaming import (
+        streaming_spatial_join,
+    )
+
+    import tests.conftest as cf
+
+    s = stream_documents(spark, cf.SF).withColumn(
+        "cell_id", s2_cell_id("lat", "lon")
+    )
+    joined = streaming_spatial_join(
+        spark,
+        s.select("doc_id", "lat", "lon", "cell_id"),
+        region_fixtures(),
+    ).select("doc_id", "region_id")
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("t_stream_sj")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r.doc_id, r.region_id) for r in spark.table("t_stream_sj").collect()
+    }
+    expected = {
+        (r.doc_id, r.region_id)
+        for r in spatial_join(
+            spark,
+            docs.select("doc_id", "lat", "lon", "cell_id"),
+            region_fixtures(),
+        )
+        .select("doc_id", "region_id")
+        .collect()
+    }
+    assert got == expected
+    # batch inputs are rejected (the batch operator is the API there)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        streaming_spatial_join(
+            spark, docs.select("doc_id", "lat", "lon", "cell_id"),
+            region_fixtures(),
+        )
+
+
 def test_streaming_tiles_equals_batch(spark, docs):
     """availableNow streaming pass over the same parquet must reproduce
     the batch tiling exactly (stateless encode + windowed counts)."""
