@@ -183,6 +183,19 @@ def _ancestors(cell: int) -> list[int]:
     return out
 
 
+def use_edge_index(n_data_edges: int, n_query_edges: int) -> bool:
+    """Cost-based brute-vs-index crossover, mirroring the reference's
+    adaptive index build (S2EdgeIndex.php:197-204: compute the quad
+    tree only once ``getNumEdges() > 100 && queryCount + n > 30``;
+    below that, m*n robustCrossing calls are cheaper than building the
+    index).  Distributed analogue: below the crossover we skip the
+    per-edge covering computation and the candidate equi-joins
+    entirely and feed ALL pairs straight to the vectorized
+    ``robustCrossing`` refine — for tiny inputs the covering build
+    dominates, exactly as costInsert dominates in the reference."""
+    return n_data_edges > 100 and n_query_edges > 30
+
+
 def _parent1_int(c: int) -> int:
     lsb = c & (-c & 0xFFFFFFFFFFFFFFFF)
     nl = lsb << 2
@@ -193,6 +206,7 @@ def polyline_region_crossing_join(
     spark: SparkSession,
     polylines: list[dict],
     region_specs: list[dict],
+    brute: bool | None = None,
 ) -> DataFrame:
     """Which polylines cross which region BOUNDARIES — the full
     ``S2EdgeIndex::findCandidateCrossings`` probe shape
@@ -217,14 +231,19 @@ def polyline_region_crossing_join(
     region_id, n_crossings) for pairs with >= 1 proper crossing.
 
     Only loop/polygon regions participate (caps/rects have no
-    boundary vertex chain)."""
+    boundary vertex chain).
+
+    ``brute=None`` applies the reference's cost-based crossover
+    (``use_edge_index``): below m>100 data edges / n>30 query edges
+    the covering build is skipped and every (polyline edge, region
+    edge) pair goes straight to the refine kernel — the region side is
+    broadcast either way, so the tiny path is a broadcast
+    nested-loop by DESIGN, never the scale path."""
     from ..s2core.edges import edge_covering
     from ..s2core.region import region_from_params
 
-    # --- broadcast side: region boundary edges + coverings -------------------
-    redge_rows = []  # (region_id, redge, cx, cy, cz, dx, dy, dz)
-    rcell_raw = []  # (region_id, redge, cell)
-    rcell_anc = []  # (region_id, redge, cell)
+    # --- broadcast side: region boundary edges -------------------------------
+    redge_xyz = []  # (region_id, redge, c, d) in numpy
     for spec in region_specs:
         if spec["kind"] not in ("loop", "polygon"):
             continue
@@ -238,30 +257,11 @@ def polyline_region_crossing_join(
             verts = lp.vertices
             m = len(verts)
             for i in range(m):
-                c, d = verts[i], verts[(i + 1) % m]
-                redge_rows.append(
-                    (rid, redge, *[float(x) for x in c], *[float(x) for x in d])
-                )
-                cov, _ = edge_covering(c, d)
-                for cell in cov:
-                    rcell_raw.append((rid, redge, _sig(cell)))
-                    for anc in _ancestors(cell):
-                        rcell_anc.append((rid, redge, _sig(anc)))
+                redge_xyz.append((rid, redge, verts[i], verts[(i + 1) % m]))
                 redge += 1
-    redges = spark.createDataFrame(
-        redge_rows,
-        "region_id long, redge long, cx double, cy double, cz double, "
-        "dx double, dy double, dz double",
-    )
-    raw_df = spark.createDataFrame(
-        rcell_raw, "region_id long, redge long, rcell long"
-    ).distinct()
-    anc_df = spark.createDataFrame(
-        rcell_anc, "region_id long, redge long, rcell long"
-    ).distinct()
 
-    # --- data side: polyline edges + coverings -------------------------------
-    ledge_rows = []  # (line_id, ledge, ax..bz, cells, anc_cells)
+    # --- data side: polyline edges -------------------------------------------
+    ledge_xyz = []  # (line_id, k, a, b)
     for spec in polylines:
         lid = int(spec["line_id"])
         v = np.asarray(spec["vertices"], dtype=np.float64)
@@ -269,7 +269,51 @@ def polyline_region_crossing_join(
             geom.latlng_to_xyz(np.radians(v[:, 0]), np.radians(v[:, 1]))
         )
         for k in range(len(verts) - 1):
-            a, b = verts[k], verts[k + 1]
+            ledge_xyz.append((lid, k, verts[k], verts[k + 1]))
+
+    if brute is None:
+        brute = not use_edge_index(len(redge_xyz), len(ledge_xyz))
+
+    redges = spark.createDataFrame(
+        [
+            (rid, re, *[float(x) for x in c], *[float(x) for x in d])
+            for rid, re, c, d in redge_xyz
+        ],
+        "region_id long, redge long, cx double, cy double, cz double, "
+        "dx double, dy double, dz double",
+    )
+
+    if brute:
+        # tiny path: all pairs, no index build (S2EdgeIndex brute arm)
+        ledges = spark.createDataFrame(
+            [
+                (lid, k, *[float(x) for x in a], *[float(x) for x in b])
+                for lid, k, a, b in ledge_xyz
+            ],
+            "line_id long, ledge long, ax double, ay double, az double, "
+            "bx double, by double, bz double",
+        )
+        cand = ledges.select("line_id", "ledge").crossJoin(
+            F.broadcast(redges.select("region_id", "redge"))
+        )
+    else:
+        rcell_raw = []  # (region_id, redge, cell)
+        rcell_anc = []  # (region_id, redge, cell)
+        for rid, re, c, d in redge_xyz:
+            cov, _ = edge_covering(c, d)
+            for cell in cov:
+                rcell_raw.append((rid, re, _sig(cell)))
+                for anc in _ancestors(cell):
+                    rcell_anc.append((rid, re, _sig(anc)))
+        raw_df = spark.createDataFrame(
+            rcell_raw, "region_id long, redge long, rcell long"
+        ).distinct()
+        anc_df = spark.createDataFrame(
+            rcell_anc, "region_id long, redge long, rcell long"
+        ).distinct()
+
+        ledge_rows = []  # (line_id, ledge, ax..bz, cells, anc_cells)
+        for lid, k, a, b in ledge_xyz:
             cov, _ = edge_covering(a, b)
             anc = sorted({x for c in cov for x in _ancestors(c)})
             ledge_rows.append(
@@ -280,26 +324,26 @@ def polyline_region_crossing_join(
                     [_sig(c) for c in anc],
                 )
             )
-    ledges = spark.createDataFrame(
-        ledge_rows,
-        "line_id long, ledge long, ax double, ay double, az double, "
-        "bx double, by double, bz double, cells array<long>, "
-        "anc_cells array<long>",
-    )
+        ledges = spark.createDataFrame(
+            ledge_rows,
+            "line_id long, ledge long, ax double, ay double, az double, "
+            "bx double, by double, bz double, cells array<long>, "
+            "anc_cells array<long>",
+        )
 
-    # --- candidate generation: two equi-join arms ---------------------------
-    key_cols = ["line_id", "ledge", "region_id", "redge"]
-    arm_parent = (
-        ledges.select("line_id", "ledge", F.explode("anc_cells").alias("k"))
-        .join(F.broadcast(raw_df), F.col("k") == F.col("rcell"), "inner")
-        .select(*key_cols)
-    )
-    arm_child = (
-        ledges.select("line_id", "ledge", F.explode("cells").alias("k"))
-        .join(F.broadcast(anc_df), F.col("k") == F.col("rcell"), "inner")
-        .select(*key_cols)
-    )
-    cand = arm_parent.unionByName(arm_child).distinct()
+        # --- candidate generation: two equi-join arms -----------------------
+        key_cols = ["line_id", "ledge", "region_id", "redge"]
+        arm_parent = (
+            ledges.select("line_id", "ledge", F.explode("anc_cells").alias("k"))
+            .join(F.broadcast(raw_df), F.col("k") == F.col("rcell"), "inner")
+            .select(*key_cols)
+        )
+        arm_child = (
+            ledges.select("line_id", "ledge", F.explode("cells").alias("k"))
+            .join(F.broadcast(anc_df), F.col("k") == F.col("rcell"), "inner")
+            .select(*key_cols)
+        )
+        cand = arm_parent.unionByName(arm_child).distinct()
 
     # --- refine: vectorized robustCrossing ----------------------------------
     pairs = cand.join(
@@ -375,7 +419,7 @@ def polyline_region_crossings_numpy(
 
 
 def polyline_self_crossing_join(
-    spark: SparkSession, polylines: list[dict]
+    spark: SparkSession, polylines: list[dict], brute: bool | None = None
 ) -> DataFrame:
     """Which polylines cross which OTHER polylines — the two-big-sides
     variant of the edge-index probe: NO broadcast side.  Both arms of
@@ -394,7 +438,12 @@ def polyline_self_crossing_join(
     plus the final pair aggregation.
 
     Output: (line_a, line_b, n_crossings) for pairs with >= 1 proper
-    crossing between edges of DIFFERENT lines."""
+    crossing between edges of DIFFERENT lines.
+
+    ``brute=None`` applies the reference's cost-based crossover
+    (``use_edge_index``, S2EdgeIndex.php:197-204): at or below 100
+    total edges the covering UDF and both equi-joins are skipped and
+    all cross-line edge pairs go straight to the refine kernel."""
     from pyspark.sql.types import ArrayType, LongType
 
     rows = []
@@ -414,6 +463,27 @@ def polyline_self_crossing_join(
         "line_id long, edge long, ax double, ay double, az double, "
         "bx double, by double, bz double",
     )
+
+    if brute is None:
+        brute = not use_edge_index(len(rows), len(rows))
+    if brute:
+        return _self_crossing_refine(
+            edges,
+            edges.alias("pa")
+            .select(F.col("line_id").alias("la"), F.col("edge").alias("ea"))
+            .crossJoin(
+                edges.alias("pb").select(
+                    F.col("line_id").alias("lb"), F.col("edge").alias("eb")
+                )
+            )
+            .where(F.col("la") < F.col("lb"))
+            .select(
+                F.col("la").alias("line_a"),
+                F.col("lb").alias("line_b"),
+                F.col("ea").alias("edge_a"),
+                F.col("eb").alias("edge_b"),
+            ),
+        )
 
     @F.pandas_udf(ArrayType(LongType()))
     def edge_cells(*cols: pd.Series) -> pd.Series:
@@ -473,6 +543,13 @@ def polyline_self_crossing_join(
         )
         .distinct()
     )
+    return _self_crossing_refine(edges, cand)
+
+
+def _self_crossing_refine(edges: DataFrame, cand: DataFrame) -> DataFrame:
+    """Exact-crossing refine + pair aggregation shared by the indexed
+    and brute candidate generators: fetch both edges' endpoints, keep
+    pairs with a proper ``robustCrossing``, count per line pair."""
     ea = edges.select(
         F.col("line_id").alias("line_a"), F.col("edge").alias("edge_a"),
         "ax", "ay", "az", "bx", "by", "bz",

@@ -178,7 +178,9 @@ def test_polyline_region_crossing_join_counts(spark):
     ]
     got = {
         (r.line_id, r.region_id): r.n_crossings
-        for r in polyline_region_crossing_join(spark, lines, regions).collect()
+        for r in polyline_region_crossing_join(
+            spark, lines, regions, brute=False
+        ).collect()
     }
     want = {
         (lid, rid): n
@@ -191,7 +193,7 @@ def test_polyline_region_crossing_join_counts(spark):
     got2 = {
         (r.line_id, r.region_id): r.n_crossings
         for r in polyline_region_crossing_join(
-            spark, through, regions
+            spark, through, regions, brute=False
         ).collect()
     }
     want2 = {
@@ -264,7 +266,7 @@ def test_polyline_self_crossing_join_no_broadcast(spark):
             vertices=[[41.0, -76.0], [43.0, -75.0], [41.0, -74.0]],
         ),
     ]
-    df = polyline_self_crossing_join(spark, lines)
+    df = polyline_self_crossing_join(spark, lines, brute=False)
     got = {(r.line_a, r.line_b): r.n_crossings for r in df.collect()}
     want = {
         (a, b): n for a, b, n in polyline_self_crossings_numpy(lines)
@@ -274,3 +276,54 @@ def test_polyline_self_crossing_join_no_broadcast(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_cost_based_crossover_brute_matches_indexed(spark):
+    """The reference builds its edge index only past the measured
+    crossover (S2EdgeIndex.php:197-204: >100 data edges AND >30
+    queries); below it, brute m*n robustCrossing wins.  Our
+    distributed twin must (a) dispatch the same way and (b) return
+    identical answers on both paths."""
+    from s2_geometry_library_php_spark.operators.polyline_join import (
+        polyline_region_crossing_join,
+        polyline_self_crossing_join,
+        use_edge_index,
+    )
+
+    # the reference thresholds, exactly
+    assert not use_edge_index(100, 1000)
+    assert not use_edge_index(1000, 30)
+    assert use_edge_index(101, 31)
+
+    lines = [
+        dict(line_id=1, vertices=[[42.0, -77.0], [42.0, -72.0]]),
+        dict(line_id=2, vertices=[[40.0, -74.5], [44.0, -74.5]]),
+        dict(
+            line_id=4,
+            vertices=[[41.0, -76.0], [43.0, -75.0], [41.0, -74.0]],
+        ),
+    ]
+    regions = [
+        dict(
+            region_id=7,
+            kind="loop",
+            params=[40.0, -75.0, 40.0, -70.0, 45.0, -70.0, 45.0, -75.0],
+            loop_offsets=None,
+        )
+    ]
+
+    def rows(df):
+        return sorted(tuple(r) for r in df.collect())
+
+    # region join: auto-dispatch (tiny => brute) == forced-index == forced-brute
+    auto = polyline_region_crossing_join(spark, lines, regions)
+    idx = polyline_region_crossing_join(spark, lines, regions, brute=False)
+    brt = polyline_region_crossing_join(spark, lines, regions, brute=True)
+    assert rows(auto) == rows(idx) == rows(brt)
+
+    # self join: same three-way agreement
+    auto_s = polyline_self_crossing_join(spark, lines)
+    idx_s = polyline_self_crossing_join(spark, lines, brute=False)
+    brt_s = polyline_self_crossing_join(spark, lines, brute=True)
+    assert rows(auto_s) == rows(idx_s) == rows(brt_s)
+    assert len(rows(auto_s)) > 0
