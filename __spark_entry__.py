@@ -215,6 +215,17 @@ def _sig64(u: int) -> int:
     return u - (1 << 64) if u >= 1 << 63 else u
 
 
+def _covering_range_rows(cov_rows) -> list[tuple[int, int, int]]:
+    """(region_id, cell_min, cell_max) descendant ranges (signed) from
+    compute_coverings' (region_id, cell_signed, level, is_interior)."""
+    out = []
+    for rid, cell_s, _lvl, _interior in cov_rows:
+        u = cell_s & 0xFFFFFFFFFFFFFFFF
+        lsb = u & (-u & 0xFFFFFFFFFFFFFFFF)
+        out.append((int(rid), _sig64(u - (lsb - 1)), _sig64(u + (lsb - 1))))
+    return out
+
+
 def _union_fixture_frames(spark):
     a, b = _union_fixture_coverings()
     a_df = spark.createDataFrame([(_sig64(c),) for c in a], "cell_id long")
@@ -1047,6 +1058,37 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             out = out.unionByName(p)
         return out
 
+    def q_range_join_rewrite(spark, sf):
+        """Ad-hoc SQL `leaf BETWEEN cell_min AND cell_max` θ-join
+        auto-rewritten into the banded-prefix hash equi-join
+        (plans/range_rewrite — SURVEY §4.2's declared stretch).  The
+        oracle runs the LITERAL θ-join in DuckDB over identical
+        inputs, so the comparison proves the rewrite is
+        semantics-preserving, not just self-consistent."""
+        from s2_geometry_library_php_spark.operators.spatial_join import (
+            compute_coverings,
+        )
+        from s2_geometry_library_php_spark.plans.range_rewrite import (
+            rewrite_range_join_sql,
+        )
+
+        docs = _docs(spark, sf).select(
+            "doc_id", F.col("cell_id").alias("leaf")
+        )
+        rrows = _covering_range_rows(compute_coverings(region_fixtures()))
+        ranges = spark.createDataFrame(
+            rrows, "region_id long, cell_min long, cell_max long"
+        )
+        docs.createOrReplaceTempView("rj_probe_docs")
+        ranges.createOrReplaceTempView("rj_cov_ranges")
+        return rewrite_range_join_sql(
+            spark,
+            "SELECT region_id, CAST(COUNT(*) AS BIGINT) AS n_docs "
+            "FROM rj_probe_docs p JOIN rj_cov_ranges r "
+            "ON p.leaf BETWEEN r.cell_min AND r.cell_max "
+            "GROUP BY region_id",
+        )
+
     def q_streaming_spatial_join(spark, sf):
         """Streaming twin of the flagship join: file-stream source ->
         stream-static broadcast covering join + Arrow refine -> memory
@@ -1128,6 +1170,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spatial_join_distributed": q_spatial_join_distributed,
         "stateful_running_tiles": q_stateful_running_tiles,
         "streaming_spatial_join": q_streaming_spatial_join,
+        "range_join_rewrite": q_range_join_rewrite,
     }
 
 
@@ -1230,6 +1273,26 @@ def _kernel_oracles() -> dict[str, str]:
     )
     # the distributed-region path must produce the identical rows
     _ORACLE_CACHE["spatial_join_distributed"] = _ORACLE_CACHE["spatial_join"]
+    # range-join rewrite: DuckDB executes the LITERAL θ-join over the
+    # same (doc_id, leaf) and covering-range tables that the Spark
+    # side rewrites into the banded-prefix equi-join
+    from s2_geometry_library_php_spark.operators.spatial_join import (
+        compute_coverings,
+    )
+
+    probe_vals = _values_sql(
+        [(int(d), _sig64(int(lf))) for d, lf in zip(doc_id, leaf)],
+        [("doc_id", "BIGINT"), ("leaf", "BIGINT")],
+    )
+    range_vals = _values_sql(
+        _covering_range_rows(compute_coverings(region_fixtures())),
+        [("region_id", "BIGINT"), ("cell_min", "BIGINT"), ("cell_max", "BIGINT")],
+    )
+    _ORACLE_CACHE["range_join_rewrite"] = (
+        f"SELECT region_id, CAST(COUNT(*) AS BIGINT) AS n_docs "
+        f"FROM ({probe_vals}) p JOIN ({range_vals}) r "
+        f"ON p.leaf BETWEEN r.cell_min AND r.cell_max GROUP BY region_id"
+    )
     # stateless stream-static join: a full availableNow pass must
     # equal the batch join row-for-row
     _ORACLE_CACHE["streaming_spatial_join"] = _ORACLE_CACHE["spatial_join"]

@@ -97,9 +97,9 @@ def range_join(
         .collect()
     )
     levels = sorted(
-        int(r.__rj_level) for r in census if r.__rj_level is not None
+        int(r["__rj_level"]) for r in census if r["__rj_level"] is not None
     )
-    has_residual = any(r.__rj_level is None for r in census)
+    has_residual = any(r["__rj_level"] is None for r in census)
 
     build_valid = tagged.where("__rj_valid").withColumn("__rj_level", lvl)
     if broadcast:

@@ -1,0 +1,111 @@
+"""SQL range-predicate rewrite: `leaf BETWEEN cell_min AND cell_max`
+θ-joins become banded-prefix hash equi-joins (SURVEY §4.2 stretch)."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from s2_geometry_library_php_spark.plans.range_rewrite import (
+    range_join,
+    rewrite_range_join_sql,
+)
+from s2_geometry_library_php_spark.s2core import cellid as cid
+
+
+@pytest.fixture(scope="module")
+def tables(spark):
+    rng = np.random.default_rng(42)
+    lat = rng.uniform(-60, 60, 500)
+    lon = rng.uniform(-179, 179, 500)
+    leaf = cid.cell_id_from_latlng_degrees(lat, lon)
+    probe = spark.createDataFrame(
+        [(int(i), int(np.int64(v))) for i, v in enumerate(leaf)],
+        "doc_id long, leaf long",
+    )
+    # ranges: descendant ranges of the level-4..8 parents of a sample
+    # of the points (guarantees hits), plus some empty-region cells
+    def signed(x):
+        x &= 0xFFFFFFFFFFFFFFFF
+        return x - (1 << 64) if x >= (1 << 63) else x
+
+    rows = []
+    rid = 0
+    for k in range(0, 60, 7):
+        for lvl in (4, 6, 8):
+            c = int(cid.parent(np.asarray([leaf[k]], dtype=np.uint64), lvl)[0])
+            lsb = c & -c & 0xFFFFFFFFFFFFFFFF
+            rows.append((rid, signed(c - (lsb - 1)), signed(c + (lsb - 1))))
+            rid += 1
+    ranges = spark.createDataFrame(
+        rows, "region_id long, cell_min long, cell_max long"
+    )
+    probe.createOrReplaceTempView("rj_probe")
+    ranges.createOrReplaceTempView("rj_ranges")
+    return probe, ranges
+
+
+def _theta(probe, ranges):
+    return probe.alias("p").join(
+        ranges.alias("r"),
+        F.col("p.leaf").between(F.col("r.cell_min"), F.col("r.cell_max")),
+    ).select("doc_id", "region_id")
+
+
+def test_range_join_matches_theta_join_and_is_hash_join(tables):
+    probe, ranges = tables
+    got = range_join(probe, ranges, "leaf", "cell_min", "cell_max").select(
+        "doc_id", "region_id"
+    )
+    want = _theta(probe, ranges)
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, want.collect())
+    )
+    assert len(got.collect()) > 0
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan or "ShuffledHashJoin" in plan
+
+
+def test_range_join_residual_arm_for_non_cell_ranges(spark, tables):
+    probe, ranges = tables
+    # arbitrary intervals that are NOT cell ranges must still join
+    # correctly (they take the residual θ-arm)
+    lo = int(probe.agg(F.min("leaf")).collect()[0][0])
+    weird = spark.createDataFrame(
+        [(900, lo, lo + 12345678901), (901, 5, 3)],
+        "region_id long, cell_min long, cell_max long",
+    )
+    mixed = ranges.unionByName(weird)
+    got = range_join(probe, mixed, "leaf", "cell_min", "cell_max").select(
+        "doc_id", "region_id"
+    )
+    want = _theta(probe, mixed)
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, want.collect())
+    )
+    assert got.where("region_id = 900").count() > 0
+
+
+def test_rewrite_sql_matches_plain_sql(spark, tables):
+    sql = (
+        "SELECT region_id, COUNT(*) AS n FROM rj_probe p "
+        "JOIN rj_ranges r ON p.leaf BETWEEN r.cell_min AND r.cell_max "
+        "GROUP BY region_id ORDER BY region_id"
+    )
+    got = rewrite_range_join_sql(spark, sql)
+    want = spark.sql(sql)
+    assert [tuple(r) for r in got.collect()] == [
+        tuple(r) for r in want.collect()
+    ]
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    # the plain θ-join really is the bad plan the rewrite removes
+    bad = want._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in bad or "CartesianProduct" in bad
+
+
+def test_rewrite_sql_falls_back_on_non_matching_text(spark, tables):
+    sql = "SELECT COUNT(*) AS n FROM rj_probe"
+    assert rewrite_range_join_sql(spark, sql).collect()[0].n == 500
