@@ -185,6 +185,79 @@ def main() -> None:
         )
     )
 
+    # --- round-3 operators ---------------------------------------------------
+    from s2_geometry_library_php_spark.operators.spatial_join import (
+        compute_coverings,
+    )
+    from s2_geometry_library_php_spark.plans.range_rewrite import (
+        rewrite_range_join_sql,
+    )
+
+    leaf_probe = docs.select("doc_id", F.col("cell_id").alias("leaf"))
+    cov = compute_coverings(region_fixtures())
+    rrows = []
+    for rid, cell_s, _lvl, _interior in cov:
+        u = cell_s & 0xFFFFFFFFFFFFFFFF
+        lsb = u & (-u & 0xFFFFFFFFFFFFFFFF)
+
+        def _sig(v):
+            return v - (1 << 64) if v >= 1 << 63 else v
+
+        rrows.append((int(rid), _sig(u - (lsb - 1)), _sig(u + (lsb - 1))))
+    spark.createDataFrame(
+        rrows, "region_id long, cell_min long, cell_max long"
+    ).createOrReplaceTempView("ex_cov_ranges")
+    leaf_probe.createOrReplaceTempView("ex_probe_docs")
+    plans.append(
+        (
+            "ad-hoc SQL range θ-join auto-rewritten (leaf BETWEEN "
+            "cell_min AND cell_max -> banded-prefix BroadcastHashJoin; "
+            "no BroadcastNestedLoopJoin survives)",
+            rewrite_range_join_sql(
+                spark,
+                "SELECT region_id, COUNT(*) AS n_docs "
+                "FROM ex_probe_docs p JOIN ex_cov_ranges r "
+                "ON p.leaf BETWEEN r.cell_min AND r.cell_max "
+                "GROUP BY region_id",
+            ),
+        )
+    )
+
+    import math as _math
+
+    _rng_idx = range(1200)
+    big_specs = [
+        {
+            "region_id": i,
+            "kind": "rect",
+            "params": [
+                _math.radians(-70 + (i * 7919) % 130),
+                _math.radians(-70 + (i * 7919) % 130 + 3.0),
+                _math.radians(-170 + (i * 104729) % 320),
+                _math.radians(-170 + (i * 104729) % 320 + 5.0),
+            ],
+        }
+        for i in _rng_idx
+    ]
+    plans.append(
+        (
+            "k-nearest-regions ABOVE the prune threshold (block-cap "
+            "prune: probe x broadcast block caps -> per-probe k-th "
+            "upper bound -> surviving blocks explode to candidates -> "
+            "exact rect distance; no all-regions product)",
+            knn_regions(
+                spark,
+                spark.createDataFrame(
+                    [(0, 48.85, 2.35)], "probe_id long, lat double, lon double"
+                ),
+                big_specs,
+                5,
+                prune_threshold=100,
+                block_size=32,
+            ),
+        )
+    )
+
     out = ["# EXPLAIN — physical plans of the headline operators\n"]
     out.append(
         "Generated by tools/dump_plans.py at sf0.01 on local[8]; the\n"
