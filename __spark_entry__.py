@@ -654,8 +654,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return spark.createDataFrame(rows, "token string")
 
     def q_multimodal(spark, sf):
-        media = synth_media_table(spark, 64)
-        feats = extract_features(media)
+        """Real decode-by-mime path (round 3): PPM images and 16-bit
+        PCM WAV audio decoded in-executor with the pure-numpy codecs
+        (functions/multimodal.py); opaque video containers fall back
+        to the byte-histogram feature.  The oracle replicates the
+        identical decode+feature python driver-side."""
+        media = synth_media_table(spark, 64, real_payloads=True)
+        feats = extract_features(media, deterministic_fake=False)
         # No rounding: float32 features cast to double are exact, and
         # the sequential left-to-right sum below is replicated exactly
         # in the oracle (decimal rounding differs between engines at
@@ -1758,17 +1763,32 @@ FROM r WHERE rnk <= 3
         [("query_id", "BIGINT"), ("vec_id", "BIGINT"), ("rank", "BIGINT")],
     )
 
-    # multimodal (deterministic fake features, same python)
+    # multimodal: real decode twin — the same pure-numpy codecs and
+    # feature kernels the executors run (functions/multimodal.py),
+    # applied driver-side to the same deterministic payloads.
     from s2_geometry_library_php_spark.functions.multimodal import (
-        _fake_feature,
+        byte_histogram_feature,
+        decode_feature,
+        encode_ppm,
+        encode_wav,
+        synth_image,
+        synth_wave,
     )
 
     rows = []
     kinds = ["image", "audio", "video"]
     for i in range(64):
         kind = kinds[i % 3]
-        payload = bytes(((i * 7 + j * 13) % 251) for j in range(128 + i))
-        feat = _fake_feature(payload)
+        if kind == "image":
+            w, h = 64 + i % 16, 48 + i % 9
+            payload = encode_ppm(synth_image(i, w, h))
+            feat = decode_feature(payload, "image/x-portable-pixmap")
+        elif kind == "audio":
+            payload = encode_wav(synth_wave(i), 8000)
+            feat = decode_feature(payload, "audio/wav")
+        else:
+            payload = bytes(((i * 7 + j * 13) % 251) for j in range(128 + i))
+            feat = byte_histogram_feature(payload)
         f_sum = 0.0
         for x in feat:  # sequential, matching Spark's aggregate()
             f_sum = f_sum + float(x)
