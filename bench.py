@@ -68,6 +68,14 @@ def _run_suite(spark, sf_dir: str) -> tuple[dict, dict]:
             t0 = time.time()
             out = fn()
             samples.append(time.time() - t0)
+        # Noise-adaptive top-up: a >2x spread within identical runs
+        # means an interference wave hit the window — take up to 3
+        # extra samples so at least one has a chance to land clean
+        # (min is the headline, so extra samples can only help).
+        while len(samples) < 6 and max(samples) > 2.0 * min(samples):
+            t0 = time.time()
+            out = fn()
+            samples.append(time.time() - t0)
         timings[name] = round(min(samples), 3)
         medians[name] = round(statistics.median(samples), 3)
         return out
@@ -345,6 +353,12 @@ def scaling_session(cpus: int, sf_dir: str, replicate: int, repeats: int):
         tiles.count()  # warm-up: worker spawn, codegen JIT, broadcast build
         samples = []
         for _ in range(repeats):
+            t0 = time.time()
+            tiles.count()
+            samples.append(time.time() - t0)
+        # Same noise-adaptive top-up as timed(): >2x spread within
+        # identical runs = interference wave; up to 2 extra samples.
+        while len(samples) < repeats + 2 and max(samples) > 2.0 * min(samples):
             t0 = time.time()
             tiles.count()
             samples.append(time.time() - t0)
