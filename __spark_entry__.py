@@ -1086,13 +1086,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         docs.createOrReplaceTempView("rj_probe_docs")
         ranges.createOrReplaceTempView("rj_cov_ranges")
-        return rewrite_range_join_sql(
+        join_form = rewrite_range_join_sql(
             spark,
             "SELECT region_id, CAST(COUNT(*) AS BIGINT) AS n_docs "
             "FROM rj_probe_docs p JOIN rj_cov_ranges r "
             "ON p.leaf BETWEEN r.cell_min AND r.cell_max "
             "GROUP BY region_id",
-        )
+        ).withColumn("form", F.lit("join"))
+        # comma-FROM predicate shape (r4 widened matcher) with an
+        # extra residual WHERE predicate carried through the rewrite
+        where_form = rewrite_range_join_sql(
+            spark,
+            "SELECT region_id, CAST(COUNT(*) AS BIGINT) AS n_docs "
+            "FROM rj_probe_docs p, rj_cov_ranges r "
+            "WHERE p.leaf BETWEEN r.cell_min AND r.cell_max "
+            "AND pmod(p.doc_id, 2) = 0 "
+            "GROUP BY region_id",
+        ).withColumn("form", F.lit("where"))
+        return join_form.unionByName(where_form)
 
     def q_streaming_spatial_join(spark, sf):
         """Streaming twin of the flagship join: file-stream source ->
@@ -1294,9 +1305,16 @@ def _kernel_oracles() -> dict[str, str]:
         [("region_id", "BIGINT"), ("cell_min", "BIGINT"), ("cell_max", "BIGINT")],
     )
     _ORACLE_CACHE["range_join_rewrite"] = (
-        f"SELECT region_id, CAST(COUNT(*) AS BIGINT) AS n_docs "
+        f"SELECT region_id, CAST(COUNT(*) AS BIGINT) AS n_docs, "
+        f"'join' AS form "
         f"FROM ({probe_vals}) p JOIN ({range_vals}) r "
-        f"ON p.leaf BETWEEN r.cell_min AND r.cell_max GROUP BY region_id"
+        f"ON p.leaf BETWEEN r.cell_min AND r.cell_max GROUP BY region_id "
+        f"UNION ALL "
+        f"SELECT region_id, CAST(COUNT(*) AS BIGINT) AS n_docs, "
+        f"'where' AS form "
+        f"FROM ({probe_vals}) p, ({range_vals}) r "
+        f"WHERE p.leaf BETWEEN r.cell_min AND r.cell_max "
+        f"AND p.doc_id % 2 = 0 GROUP BY region_id"
     )
     # stateless stream-static join: a full availableNow pass must
     # equal the batch join row-for-row

@@ -24,19 +24,25 @@ source-level rewrite:
   ANY input, not just cell-shaped ranges; the residual arm is skipped
   entirely when the (tiny) dimension scan finds none.
 
-* ``rewrite_range_join_sql`` — SQL text form.  Conservatively
-  pattern-matches the canonical single-join shape
-  ``... FROM <probe> p JOIN <ranges> r ON p.leaf BETWEEN r.lo AND
-  r.hi ...``; on a match the FROM clause is swapped for a temp view
-  holding ``range_join``'s output and alias qualifiers are stripped;
-  anything that does not match cleanly (or would make a stripped
-  column ambiguous) falls back to ``spark.sql`` unchanged — the
-  rewrite never changes results, only the physical plan.
+* ``rewrite_range_join_sql`` — SQL text form.  Pattern-matches the
+  canonical single-join shape ``... FROM <probe> p JOIN <ranges> r ON
+  p.leaf BETWEEN r.lo AND r.hi ...`` AND the comma-FROM predicate
+  shape ``... FROM [t0 x,] <probe> p, <ranges> r WHERE p.leaf BETWEEN
+  r.lo AND r.hi [AND ...] ...`` (extra FROM tables are carried
+  through unchanged); on a match the probe/ranges pair is swapped for
+  a temp view holding ``range_join``'s output and their alias
+  qualifiers are stripped.  Anything that does not match cleanly (or
+  would make a stripped column ambiguous, or contains quoted string
+  literals the textual strip could corrupt) falls back to
+  ``spark.sql`` unchanged WITH a logged warning — the rewrite never
+  changes results, only the physical plan, and it never declines
+  silently.
 """
 
 from __future__ import annotations
 
 import itertools
+import logging
 import re
 
 from pyspark.sql import DataFrame, SparkSession
@@ -45,25 +51,47 @@ from pyspark.sql import functions as F
 from ..functions.sql_bitops import MAX_LEVEL, s2_parent
 
 _rj_counter = itertools.count()
+_log = logging.getLogger(__name__)
 
 
 def _valid_cell_range(lo, hi):
     """(lo, hi) is rangeMin/rangeMax of some cell  ⟺  span = hi-lo is
-    2*(lsb-1) for a power-of-4 lsb aligned to lo-1+lsb's low bits.
-    Rebuild the candidate cell and check it reproduces the range."""
-    span = hi - lo
-    lsb = span / F.lit(2) + F.lit(1)  # candidate lowest-on-bit
-    cell = lo + lsb - F.lit(1)
-    lsb_l = lsb.cast("long")
-    cell_l = cell.cast("long")
-    is_pow = (lsb_l > 0) & (lsb_l.bitwiseAND(lsb_l - F.lit(1)) == F.lit(0))
+    2*(lsb-1) for a power-of-4 lsb whose bit is the candidate cell's
+    lowest set bit.  ALL-INTEGER column arithmetic: 64-bit cell ids
+    exceed double's 53-bit mantissa, so any float step misclassifies
+    (a) non-cell intervals near 2^61 as valid (wrong join rows) and
+    (b) fine-level ranges with |id| > 2^53 as invalid (silent
+    fallback to the θ-arm).  ``try_subtract``/``try_add`` keep the
+    check total for adversarial intervals that would overflow signed
+    longs (null ⇒ not a cell range ⇒ residual arm).
+
+    Returns (valid, cell, level) — level derived from lsb here so the
+    caller never needs ``-cell`` (which traps on Long.MIN_VALUE under
+    ANSI mode)."""
+    span = F.try_subtract(hi, lo)  # null on signed overflow
+    lsb = F.shiftright(span, 1) + F.lit(1)  # exact: span >= 0 checked below
+    cell = F.try_add(lo, lsb - F.lit(1))
+    is_pow = lsb.bitwiseAND(lsb - F.lit(1)) == F.lit(0)
     # lsb must sit on an even bit (level quantum is 2 bits) => set bit
     # count of (lsb-1) even
-    even_bit = F.bit_count(lsb_l - F.lit(1)) % F.lit(2) == F.lit(0)
-    matches = (cell_l.bitwiseAND(-cell_l) == lsb_l) & (
-        cell_l - (lsb_l - F.lit(1)) == lo
+    even_bit = F.bit_count(lsb - F.lit(1)) % F.lit(2) == F.lit(0)
+    # cell & -cell == lsb, negation-free: low bits below lsb all zero
+    # and the lsb bit itself set
+    low_bits = (cell.bitwiseAND(lsb - F.lit(1)) == F.lit(0)) & (
+        cell.bitwiseAND(lsb) != F.lit(0)
     )
-    return (span % F.lit(2) == F.lit(0)) & is_pow & even_bit & matches, cell_l
+    valid = F.coalesce(
+        (span >= F.lit(0))
+        & (span.bitwiseAND(F.lit(1)) == F.lit(0))
+        & is_pow
+        & even_bit
+        & low_bits,
+        F.lit(False),
+    )
+    level = (
+        F.lit(MAX_LEVEL) - F.shiftright(F.bit_count(lsb - F.lit(1)), 1)
+    ).cast("int")
+    return valid, cell, level
 
 
 def range_join(
@@ -79,18 +107,12 @@ def range_join(
     columns (SQL join order).  ``broadcast=True`` hints the dimension
     side (covering tables are dimension-sized by contract); set False
     to let AQE decide for a large build side."""
-    valid, cell = _valid_cell_range(F.col(min_col), F.col(max_col))
+    valid, cell, lvl = _valid_cell_range(F.col(min_col), F.col(max_col))
     tagged = ranges.withColumn("__rj_valid", valid).withColumn(
         "__rj_cell", cell
     )
 
     # one tiny action on the dimension side: bands present + residual?
-    lvl = F.lit(MAX_LEVEL) - (
-        F.bit_count(
-            F.col("__rj_cell").bitwiseAND(-F.col("__rj_cell")) - F.lit(1)
-        )
-        / F.lit(2)
-    ).cast("int")
     census = (
         tagged.groupBy(F.when(F.col("__rj_valid"), lvl).alias("__rj_level"))
         .count()
@@ -157,7 +179,9 @@ def range_join(
     return out
 
 
-_SQL_PAT = re.compile(
+# canonical single-JOIN shape:
+#   ... FROM probe p JOIN ranges r ON p.leaf BETWEEN r.lo AND r.hi ...
+_SQL_PAT_JOIN = re.compile(
     r"^(?P<head>\s*SELECT\b.*?\bFROM)\s+"
     r"(?P<t1>[\w.]+)\s+(?:AS\s+)?(?P<a>\w+)\s+"
     r"JOIN\s+(?P<t2>[\w.]+)\s+(?:AS\s+)?(?P<b>\w+)\s+"
@@ -167,32 +191,109 @@ _SQL_PAT = re.compile(
     re.IGNORECASE | re.DOTALL,
 )
 
+# comma-FROM / WHERE-predicate shape (also the multi-table form):
+#   ... FROM t0 x, probe p, ranges r
+#   WHERE p.leaf BETWEEN r.lo AND r.hi [AND ...] ...
+_SQL_PAT_WHERE = re.compile(
+    r"^(?P<head>\s*SELECT\b.*?\bFROM)\s+"
+    r"(?P<tables>[\w.]+\s+(?:AS\s+)?\w+(?:\s*,\s*[\w.]+\s+(?:AS\s+)?\w+)*)\s+"
+    r"WHERE\s+(?P<qa>\w+)\.(?P<leaf>\w+)\s+BETWEEN\s+"
+    r"(?P<qb1>\w+)\.(?P<mn>\w+)\s+AND\s+(?P<qb2>\w+)\.(?P<mx>\w+)"
+    r"(?P<rest>.*)$",
+    re.IGNORECASE | re.DOTALL,
+)
+
+_TBL_ALIAS = re.compile(
+    r"^([\w.]+)\s+(?:AS\s+)?(\w+)$", re.IGNORECASE
+)
+
+
+def _fallback(spark: SparkSession, sql: str, why: str) -> DataFrame:
+    """Run the SQL unchanged, but LOUDLY: a BETWEEN θ-join that the
+    rewrite declines is exactly the BroadcastNestedLoopJoin shape the
+    module exists to remove, so the decline is logged, never silent."""
+    if re.search(r"\bBETWEEN\b", sql, re.IGNORECASE):
+        _log.warning(
+            "rewrite_range_join_sql: falling back to the literal "
+            "theta-join (%s); expect a nested-loop plan. SQL: %.200s",
+            why,
+            sql,
+        )
+    return spark.sql(sql)
+
 
 def rewrite_range_join_sql(spark: SparkSession, sql: str) -> DataFrame:
-    """Run ``sql``, auto-rewriting the canonical cell-range θ-join to
-    the banded-prefix equi-join when the text matches; otherwise (or
-    when the rewrite would be ambiguous) identical to
-    ``spark.sql(sql)``."""
-    m = _SQL_PAT.match(sql)
-    if not m:
-        return spark.sql(sql)
-    g = m.groupdict()
-    if g["qa"] != g["a"] or g["qb1"] != g["b"] or g["qb2"] != g["b"]:
-        return spark.sql(sql)
+    """Run ``sql``, auto-rewriting the cell-range θ-join to the
+    banded-prefix equi-join when the text matches either the single
+    ``JOIN ... ON leaf BETWEEN`` shape or the (multi-table) comma-FROM
+    ``WHERE leaf BETWEEN`` shape; otherwise (or when the rewrite would
+    be ambiguous) identical to ``spark.sql(sql)`` plus a logged
+    warning.  The rewrite never changes results, only the plan."""
+    # Alias-qualifier stripping is textual; a quoted literal like
+    # 'p.foo' would be corrupted by it, so any quoted span disables
+    # the rewrite outright (conservative and cheap).
+    if "'" in sql or '"' in sql:
+        return _fallback(spark, sql, "quoted string literal present")
+
+    m = _SQL_PAT_JOIN.match(sql)
+    if m:
+        g = m.groupdict()
+        if g["qa"] != g["a"] or g["qb1"] != g["b"] or g["qb2"] != g["b"]:
+            return _fallback(spark, sql, "qualifier/alias mismatch")
+        others = []
+    else:
+        m = _SQL_PAT_WHERE.match(sql)
+        if not m:
+            return _fallback(spark, sql, "no recognized join shape")
+        g = m.groupdict()
+        if g["qb1"] != g["qb2"] or g["qa"] == g["qb1"]:
+            return _fallback(spark, sql, "qualifier/alias mismatch")
+        alias_to_tbl = {}
+        order = []
+        for part in re.split(r"\s*,\s*", g["tables"].strip()):
+            tm = _TBL_ALIAS.match(part)
+            if not tm:
+                return _fallback(spark, sql, "unparseable FROM list")
+            alias_to_tbl[tm.group(2)] = tm.group(1)
+            order.append(tm.group(2))
+        if g["qa"] not in alias_to_tbl or g["qb1"] not in alias_to_tbl:
+            return _fallback(spark, sql, "BETWEEN aliases not in FROM")
+        g["a"], g["b"] = g["qa"], g["qb1"]
+        g["t1"], g["t2"] = alias_to_tbl[g["a"]], alias_to_tbl[g["b"]]
+        others = [
+            (alias_to_tbl[al], al)
+            for al in order
+            if al not in (g["a"], g["b"])
+        ]
+        # remaining WHERE predicates (if any) re-attach after the view
+        rest = g["rest"]
+        stripped = rest.lstrip()
+        if re.match(r"^AND\b", stripped, re.IGNORECASE):
+            g["rest"] = " WHERE " + stripped[3:].lstrip()
+
     probe = spark.table(g["t1"])
     ranges = spark.table(g["t2"])
+    taken = set(probe.columns) | set(ranges.columns)
     dup = set(probe.columns) & set(ranges.columns)
     if dup or g["leaf"] not in probe.columns or not {
         g["mn"], g["mx"]
     } <= set(ranges.columns):
-        return spark.sql(sql)  # ambiguous after alias-stripping: bail
+        return _fallback(spark, sql, "ambiguous after alias-stripping")
+    for tbl, _al in others:
+        if set(spark.table(tbl).columns) & taken:
+            return _fallback(
+                spark, sql, "extra FROM table shares column names"
+            )
     joined = range_join(probe, ranges, g["leaf"], g["mn"], g["mx"])
     view = f"__s2_range_join_{next(_rj_counter)}"
     joined.createOrReplaceTempView(view)
+    from_clause = ", ".join(
+        [view] + [f"{tbl} {al}" for tbl, al in others]
+    )
     strip = re.compile(rf"\b(?:{g['a']}|{g['b']})\.")
     new_sql = (
         strip.sub("", g["head"])
-        + f" {view}"
+        + f" {from_clause}"
         + strip.sub("", g["rest"])
     )
     return spark.sql(new_sql)

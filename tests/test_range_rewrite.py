@@ -109,3 +109,138 @@ def test_rewrite_sql_matches_plain_sql(spark, tables):
 def test_rewrite_sql_falls_back_on_non_matching_text(spark, tables):
     sql = "SELECT COUNT(*) AS n FROM rj_probe"
     assert rewrite_range_join_sql(spark, sql).collect()[0].n == 500
+
+
+def test_range_join_integer_exact_fine_levels_faces_4_5(spark):
+    """ADVICE r3 (high): level 26-30 ranges on faces 4-5 have |id| >
+    2^53 — any double step in the validity check silently drops them
+    to the θ-arm.  They must take the hash equi-join arm AND match the
+    θ-join exactly."""
+
+    def signed(x):
+        x &= 0xFFFFFFFFFFFFFFFF
+        return x - (1 << 64) if x >= (1 << 63) else x
+
+    rng = np.random.default_rng(7)
+    lat = np.concatenate(
+        [rng.uniform(-20, 20, 30), rng.uniform(-85, -70, 30)]
+    )  # face 4 band (lon ~ -90) + face 5 (south pole)
+    lon = rng.uniform(-135, -45, 60)
+    leaf = cid.cell_id_from_latlng_degrees(lat, lon)
+    probe = spark.createDataFrame(
+        [(int(i), int(np.int64(v))) for i, v in enumerate(leaf)],
+        "doc_id long, leaf long",
+    )
+    rows, rid = [], 0
+    for k in range(0, 60, 3):
+        for lvl in (26, 28, 30):
+            c = int(cid.parent(np.asarray([leaf[k]], dtype=np.uint64), lvl)[0])
+            lsb = (c & -c) & 0xFFFFFFFFFFFFFFFF
+            rows.append((rid, signed(c - (lsb - 1)), signed(c + (lsb - 1))))
+            rid += 1
+    assert any(r[1] < 0 for r in rows)  # faces 4-5 really present
+    ranges = spark.createDataFrame(
+        rows, "region_id long, cell_min long, cell_max long"
+    )
+    got = range_join(probe, ranges, "leaf", "cell_min", "cell_max").select(
+        "doc_id", "region_id"
+    )
+    want = _theta(probe, ranges)
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, want.collect())
+    )
+    assert got.count() >= 60  # every sampled leaf hits its 3 ancestors
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    # all ranges are genuine cell ranges -> NO residual θ-arm survives
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_range_join_rejects_noncell_interval_near_2_61(spark):
+    """ADVICE r3 (high): the interval [1, 2^61-99] is NOT a cell range
+    but double math classifies it as the face-0 root range, wrongly
+    matching leaves in (2^61-99, 2^61-1].  Plant probes exactly in
+    that window and check they do NOT join."""
+    inside = (1 << 61) - 200   # inside the true interval
+    phantom = (1 << 61) - 51   # outside interval, inside the phantom window
+    probe = spark.createDataFrame(
+        [(0, inside), (1, phantom), (2, (1 << 61) - 1)],
+        "doc_id long, leaf long",
+    )
+    ranges = spark.createDataFrame(
+        [
+            (900, 1, (1 << 61) - 99),
+            # adversarial signed-overflow interval: faces 4-5 start,
+            # odd span -> residual, and try_subtract keeps it total
+            (901, (1 << 62) + 5 - (1 << 63), (1 << 62) + (1 << 55) - (1 << 63)),
+        ],
+        "region_id long, cell_min long, cell_max long",
+    )
+    got = range_join(probe, ranges, "leaf", "cell_min", "cell_max").select(
+        "doc_id", "region_id"
+    )
+    want = _theta(probe, ranges)
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, want.collect())
+    )
+    assert [tuple(r) for r in got.orderBy("doc_id").collect()] == [(0, 900)]
+
+
+def test_rewrite_sql_where_form(spark, tables):
+    sql = (
+        "SELECT region_id, COUNT(*) AS n FROM rj_probe p, rj_ranges r "
+        "WHERE p.leaf BETWEEN r.cell_min AND r.cell_max AND p.doc_id >= 5 "
+        "GROUP BY region_id ORDER BY region_id"
+    )
+    got = rewrite_range_join_sql(spark, sql)
+    want = spark.sql(sql)
+    assert [tuple(r) for r in got.collect()] == [
+        tuple(r) for r in want.collect()
+    ]
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_rewrite_sql_where_form_multi_table(spark, tables):
+    spark.createDataFrame(
+        [(0, 100), (1, 200)], "par long, boost long"
+    ).createOrReplaceTempView("rj_dim")
+    sql = (
+        "SELECT d.boost, COUNT(*) AS n FROM rj_dim d, rj_probe p, rj_ranges r "
+        "WHERE p.leaf BETWEEN r.cell_min AND r.cell_max "
+        "AND pmod(p.doc_id, 2) = d.par "
+        "GROUP BY d.boost ORDER BY d.boost"
+    )
+    got = rewrite_range_join_sql(spark, sql)
+    want = spark.sql(sql)
+    assert [tuple(r) for r in got.collect()] == [
+        tuple(r) for r in want.collect()
+    ]
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    # the BETWEEN itself must be hash-joined; the tiny dim join may be
+    # anything, but no cartesian on the big pair
+    assert "CartesianProduct" not in plan
+
+
+def test_rewrite_sql_bails_loudly_on_quoted_literals(spark, tables, caplog):
+    """ADVICE r3 (low): a string literal containing 'p.' would be
+    corrupted by alias stripping — the rewrite must decline (logged)
+    and results must equal the literal SQL."""
+    import logging as _logging
+
+    sql = (
+        "SELECT region_id, COUNT(*) AS n FROM rj_probe p "
+        "JOIN rj_ranges r ON p.leaf BETWEEN r.cell_min AND r.cell_max "
+        "WHERE CONCAT(CAST(p.doc_id AS STRING), 'p.x') != 'p.x' "
+        "GROUP BY region_id ORDER BY region_id"
+    )
+    with caplog.at_level(
+        _logging.WARNING,
+        logger="s2_geometry_library_php_spark.plans.range_rewrite",
+    ):
+        got = rewrite_range_join_sql(spark, sql)
+        rows = got.collect()
+    want = spark.sql(sql).collect()
+    assert [tuple(r) for r in rows] == [tuple(r) for r in want]
+    assert any("falling back" in r.message for r in caplog.records)
