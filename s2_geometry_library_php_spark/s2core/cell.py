@@ -440,6 +440,41 @@ class Cap:
         d = math.sin(0.5 * min(angle_rad, M_PI))
         return Cap(axis, 2 * d * d)
 
+    @staticmethod
+    def from_axis_area(axis: np.ndarray, area: float) -> "Cap":
+        """Cap of the given area in steradians: h = area / 2π
+        (S2Cap.php:74-77)."""
+        return Cap(axis, area / (2 * M_PI))
+
+    def area(self) -> float:
+        """2π * h steradians, 0 for empty caps (S2Cap.php:113-115)."""
+        return 2 * M_PI * max(0.0, self.height)
+
+    def is_valid(self) -> bool:
+        """Unit axis and height <= 2; negative heights (empty caps)
+        are allowed (S2Cap.php:141-147, S2.php:181-183)."""
+        n2 = self._ax * self._ax + self._ay * self._ay + self._az * self._az
+        return abs(n2 - 1.0) <= 1e-15 and self.height <= 2
+
+    def interior_intersects(self, other: "Cap") -> bool:
+        """Interior(self) ∩ other != ∅ ⟺ complement(interior(self))
+        does not contain other; NOT symmetric (S2Cap.php:211-215)."""
+        return not self.complement().contains_cap(other)
+
+    def approx_equals(self, other: "Cap", max_error: float = 1e-14) -> bool:
+        """Axis and height within max_error, with empty/full treated
+        as equivalence classes (S2Cap.php:370-376)."""
+        return (
+            (
+                bool(np.all(np.abs(self.axis - other.axis) < max_error))
+                and abs(self.height - other.height) <= max_error
+            )
+            or (self.is_empty() and other.height <= max_error)
+            or (other.is_empty() and self.height <= max_error)
+            or (self.is_full() and other.height >= 2 - max_error)
+            or (other.is_full() and self.height >= 2 - max_error)
+        )
+
     def angle_radians(self) -> float:
         if self.is_empty():
             return -1.0

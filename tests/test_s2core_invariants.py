@@ -770,3 +770,55 @@ def test_cell_approx_area_tracks_exact():
     # level<2 falls back to the average area
     face = Cell(int(cid.parent(leafs[:1], 0)[0]))
     assert face.approx_area() == face.average_area()
+
+
+def test_cap_convenience_api_invariants():
+    """VERDICT r3 #5: the last public S2Cap methods without twins —
+    fromAxisArea (S2Cap.php:74-77), area (113-115), isValid
+    (141-147), interiorIntersects (211-215), approxEquals (370-376)."""
+    import math
+
+    import numpy as np
+
+    from s2_geometry_library_php_spark.s2core import geom
+    from s2_geometry_library_php_spark.s2core.cell import Cap
+
+    rng = np.random.default_rng(11)
+    for _ in range(50):
+        v = rng.normal(size=3)
+        axis = v / np.linalg.norm(v)
+        ang = float(rng.uniform(0.0, math.pi))
+        c = Cap.from_axis_angle(axis, ang)
+        # area <-> height round trip
+        assert abs(c.area() - 2 * math.pi * c.height) < 1e-15
+        rt = Cap.from_axis_area(axis, c.area())
+        assert abs(rt.height - c.height) <= 1e-15
+        assert c.is_valid()
+        assert c.approx_equals(Cap(axis, c.height + 5e-15))
+        assert not c.approx_equals(Cap(axis, c.height + 1e-9))
+    # boundary cases
+    assert Cap.empty().area() == 0.0
+    assert abs(Cap.full().area() - 4 * math.pi) < 1e-15
+    assert Cap.empty().is_valid() and Cap.full().is_valid()
+    assert not Cap(np.array([1.0, 0.0, 0.0]), 2.5).is_valid()
+    assert not Cap(np.array([1.0, 1.0, 0.0]), 0.5).is_valid()  # non-unit
+    assert Cap.empty().approx_equals(Cap(np.array([0.0, 1.0, 0.0]), 5e-15))
+    assert Cap.full().approx_equals(Cap(np.array([0.0, 1.0, 0.0]), 2 - 5e-15))
+
+    # interiorIntersects: overlapping / tangent / disjoint / asymmetry
+    x = np.array([1.0, 0.0, 0.0])
+    mk = lambda lng_deg, ang: Cap.from_axis_angle(
+        geom.latlng_to_xyz(np.array([0.0]), np.radians([lng_deg]))[0], ang
+    )
+    a = mk(0.0, 0.3)
+    assert a.interior_intersects(mk(20.0, 0.3))  # clearly overlapping
+    assert not a.interior_intersects(mk(90.0, 0.3))  # clearly disjoint
+    # external tangency: interiors do not meet
+    assert not a.interior_intersects(mk(math.degrees(0.6), 0.3))
+    # asymmetry: a point cap has empty interior but lies inside a's
+    point = Cap(x, 0.0)
+    assert not point.interior_intersects(a)
+    assert a.interior_intersects(point)
+    # full cap's interior meets everything non-empty; nothing meets empty
+    assert Cap.full().interior_intersects(a)
+    assert not a.interior_intersects(Cap.empty())
