@@ -123,6 +123,17 @@ def lsh_planes_for(n_vecs: int) -> int:
     return max(8, min(24, int(math.ceil(math.log2(max(n_vecs, 2))))))
 
 
+def ivf_lists_for(n_vecs: int) -> int:
+    """Inverted-list count scaled to the corpus: n_lists ~ sqrt(N)
+    balances the two linear terms of IVF query cost (centroid scan
+    ~n_lists + candidate scan ~n_probe*N/n_lists), the standard IVF
+    sizing.  This is the documented BASELINE.md scaling claim made a
+    code default (round-3 left it bench-side only)."""
+    import math
+
+    return max(8, int(round(math.sqrt(max(n_vecs, 1)))))
+
+
 def _lsh_candidates(
     embeddings: DataFrame,
     queries: DataFrame,
@@ -186,7 +197,7 @@ def ann_lsh_topk(
     queries: DataFrame,
     k: int,
     dim: int = 64,
-    n_planes: int = 10,
+    n_planes: int | None = None,
     n_tables: int = 16,
     n_flip: int = 2,
     id_col: str = "vec_id",
@@ -197,7 +208,14 @@ def ann_lsh_topk(
     exact cosine re-rank of the distinct candidates.  Candidates per
     query ~ N * tables * (1 + planes) / 2^planes instead of N.
     Deterministic (seeded hyperplanes, rounded-cosine + id-tiebreak
-    ranking), so the result is oracle-checkable bit-for-bit."""
+    ranking), so the result is oracle-checkable bit-for-bit.
+
+    ``n_planes=None`` (default) auto-sizes to ``lsh_planes_for(N)``
+    (~log2 of the corpus count, one cheap count on the corpus side) —
+    the scaling rule BASELINE.md documents, now the code default; the
+    numpy twin applies the identical rule so oracles stay exact."""
+    if n_planes is None:
+        n_planes = lsh_planes_for(embeddings.count())
     dedup = _lsh_candidates(
         embeddings, queries, dim, n_planes, n_tables, n_flip,
         id_col, vec_col, query_id_col,
@@ -325,7 +343,7 @@ def lsh_numpy_twin(
     vecs: np.ndarray,
     query_ids: list[int],
     k: int,
-    n_planes: int = 10,
+    n_planes: int | None = None,
     n_tables: int = 16,
     n_flip: int = 2,
 ) -> tuple[list[tuple], list[tuple]]:
@@ -334,7 +352,10 @@ def lsh_numpy_twin(
     input / float64 matmul as the UDF, same rounded-cosine + id
     tiebreak.  Returns (topk_rows, stats_rows) where topk_rows =
     (query_id, vec_id, rank) and stats_rows = (query_id, n_candidates,
-    recall6)."""
+    recall6).  ``n_planes=None`` auto-sizes to ``lsh_planes_for(N)``,
+    the same rule as the Spark path."""
+    if n_planes is None:
+        n_planes = lsh_planes_for(len(ids))
     vecs32 = np.asarray(vecs, dtype=np.float32)
     dim = vecs32.shape[1]
     weights = (1 << np.arange(n_planes)).astype(np.int64)
@@ -393,7 +414,7 @@ def ann_lsh_stats(
     queries: DataFrame,
     k: int,
     dim: int = 64,
-    n_planes: int = 10,
+    n_planes: int | None = None,
     n_tables: int = 16,
     n_flip: int = 2,
     id_col: str = "vec_id",
@@ -404,7 +425,9 @@ def ann_lsh_stats(
     recall6) where recall6 = |LSH top-k ∩ exact top-k| / k rounded to
     6 places.  n_candidates measured from the same candidate set the
     top-k ranks over — the sub-linearity witness the 100 TB story
-    rests on."""
+    rests on.  ``n_planes=None`` auto-sizes like :func:`ann_lsh_topk`."""
+    if n_planes is None:
+        n_planes = lsh_planes_for(embeddings.count())
     dedup = _lsh_candidates(
         embeddings, queries, dim, n_planes, n_tables, n_flip,
         id_col, vec_col, query_id_col,
@@ -441,14 +464,19 @@ def ann_lsh_stats(
 
 # --- IVF (inverted-file) ANN: the second scale path ---------------------------------
 def train_ivf_centroids(
-    vecs: np.ndarray, n_lists: int, n_iters: int = 10, seed: int = 977
+    vecs: np.ndarray, n_lists: int | None = None, n_iters: int = 10,
+    seed: int = 977,
 ) -> np.ndarray:
     """Deterministic spherical k-means coarse quantizer (driver-side,
     over a SAMPLE at production scale): seeded centroid init, fixed
     Lloyd iteration count, cosine assignment with lowest-index tie
     break — every run reproduces the same centroids bit-for-bit, so
-    the Spark path and the numpy oracle twin agree exactly."""
+    the Spark path and the numpy oracle twin agree exactly.
+    ``n_lists=None`` auto-sizes to ``ivf_lists_for(len(vecs))``
+    (~sqrt N)."""
     v = np.asarray(vecs, dtype=np.float64)
+    if n_lists is None:
+        n_lists = ivf_lists_for(len(v))
     v = v / np.linalg.norm(v, axis=1, keepdims=True)
     rng = np.random.default_rng(seed)
     idx = rng.choice(len(v), size=min(n_lists, len(v)), replace=False)
