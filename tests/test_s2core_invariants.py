@@ -822,3 +822,41 @@ def test_cap_convenience_api_invariants():
     # full cap's interior meets everything non-empty; nothing meets empty
     assert Cap.full().interior_intersects(a)
     assert not a.interior_intersects(Cap.empty())
+
+
+def test_latlng_convenience_api():
+    import math
+
+    """Vectorized twins of the last S2LatLng public methods
+    (S2LatLng.php:212-216 mul, :257-259 toStringDegrees, commented-Java
+    isValid/normalized at :108-131, sub at :200-207)."""
+    from s2_geometry_library_php_spark.s2core import earth as E
+
+    lat = np.radians([10.0, -45.0, 89.0])
+    lng = np.radians([20.0, 170.0, -179.0])
+
+    # mul: component scaling, no validity guarantee (matches reference note)
+    mlat, mlng = E.latlng_mul(lat, lng, 3.0)
+    np.testing.assert_allclose(mlat, lat * 3.0, rtol=0, atol=0)
+    np.testing.assert_allclose(mlng, lng * 3.0, rtol=0, atol=0)
+    assert not E.latlng_is_valid(mlat, mlng).all()  # 89*3 deg is invalid
+
+    # sub then normalized round-trips into the valid domain
+    slat, slng = E.latlng_sub(mlat, mlng, lat, lng)
+    np.testing.assert_allclose(slat, 2.0 * lat, atol=1e-15)
+    nlat, nlng = E.latlng_normalized(mlat, mlng)
+    assert E.latlng_is_valid(nlat, nlng).all()
+    # IEEE remainder semantics: +pi maps to +pi, not -pi
+    _, at_pi = E.latlng_normalized(np.array([0.0]), np.array([math.pi]))
+    assert at_pi[0] == math.pi
+    # already-valid points are unchanged
+    vlat, vlng = E.latlng_normalized(lat, lng)
+    np.testing.assert_allclose(vlat, lat, atol=1e-15)
+    np.testing.assert_allclose(vlng, lng, atol=1e-15)
+
+    # toStringDegrees: "(latDeg, lngDeg)" and the text round-trips
+    s = E.latlng_to_string_degrees(lat, lng)
+    assert s[0].startswith("(") and s[0].endswith(")")
+    back = [tuple(float(t) for t in v.strip("()").split(", ")) for v in s]
+    np.testing.assert_allclose([b[0] for b in back], np.degrees(lat), rtol=1e-16)
+    np.testing.assert_allclose([b[1] for b in back], np.degrees(lng), rtol=1e-16)
