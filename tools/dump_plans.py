@@ -241,10 +241,12 @@ def main() -> None:
     ]
     plans.append(
         (
-            "k-nearest-regions ABOVE the prune threshold (block-cap "
-            "prune: probe x broadcast block caps -> per-probe k-th "
-            "upper bound -> surviving blocks explode to candidates -> "
-            "exact rect distance; no all-regions product)",
+            "k-nearest-regions ABOVE the prune threshold (TWO-LEVEL "
+            "rect-block prune: probe x broadcast superblock cones -> "
+            "per-probe k-th upper bound -> surviving superblocks' "
+            "blocks via hash join on sb_id, window-tightened bound -> "
+            "surviving blocks explode to candidates via hash join on "
+            "region_id -> exact rect distance; no all-regions product)",
             knn_regions(
                 spark,
                 spark.createDataFrame(
@@ -254,6 +256,7 @@ def main() -> None:
                 5,
                 prune_threshold=100,
                 block_size=32,
+                sb_size=4,
             ),
         )
     )
