@@ -142,6 +142,7 @@ def _run_suite(spark, sf_dir: str) -> tuple[dict, dict]:
     )
     from s2_geometry_library_php_spark.operators.tiling import (
         plan_salt_buckets,
+        salt_columns,
         salted_repartition_planned,
     )
 
@@ -157,8 +158,13 @@ def _run_suite(spark, sf_dir: str) -> tuple[dict, dict]:
     for (clat, clng), cut in reversed(list(zip(cities, cuts))):
         lat_sk = F.when(m < cut, F.lit(clat) + jlat).otherwise(lat_sk)
         lon_sk = F.when(m < cut, F.lit(clng) + jlon).otherwise(lon_sk)
+    # geo-only pipeline: caching url/text too would double the cached
+    # bytes for columns the skew experiment never reads
     skewed = (
-        docs.withColumn("lat", lat_sk).withColumn("lon", lon_sk).cache()
+        docs.select("doc_id", "lat", "lon")
+        .withColumn("lat", lat_sk)
+        .withColumn("lon", lon_sk)
+        .cache()
     )
     skewed.count()
     enc_sk = skewed.withColumn("cell_id", s2_cell_id("lat", "lon"))
@@ -212,17 +218,11 @@ def _run_suite(spark, sf_dir: str) -> tuple[dict, dict]:
             "max_over_mean": round(max(sizes, default=0) / max(mean, 1), 2),
         }
 
-    _prefix = s2_parent(F.col("cell_id"), 8).alias("_prefix")
-    if salt_plan:
-        _buckets = F.coalesce(
-            F.create_map(
-                *[F.lit(x) for kv in salt_plan.items() for x in kv]
-            )[s2_parent(F.col("cell_id"), 8)],
-            F.lit(1),
-        )
-    else:
-        _buckets = F.lit(1)
-    _salt = F.pmod(F.xxhash64(F.col("cell_id")), _buckets).cast("int")
+    # measure balance with the SAME salt expressions the timed salted
+    # run repartitioned by (salt_columns is that single definition)
+    _prefix_col, _salt_col = salt_columns(salt_plan, 8)
+    _prefix = _prefix_col.alias("_prefix")
+    _salt = _salt_col
     extras["skew"] = {
         "hot_city_shares_pct": [35, 17, 12, 9, 7],
         "salt_plan_prefixes": len(salt_plan),

@@ -236,7 +236,12 @@ def region_block_summaries(
     sb_rows = []
     n_sb = (n_blocks + sb_size - 1) // sb_size
     for si in range(n_sb):
-        mine = [m for m in blocks_meta if m[0] == si]
+        # blocks_meta is appended in bi order, so sb_id = bi // sb_size
+        # makes each superblock's members a contiguous slice (an
+        # all-blocks scan per superblock would be quadratic at the
+        # ~31k-block scale this index targets)
+        mine = blocks_meta[si * sb_size : (si + 1) * sb_size]
+        assert all(m[0] == si for m in mine)
         axes = np.vstack([m[1] for m in mine])
         saxis = axes.mean(axis=0)
         nn = np.linalg.norm(saxis)

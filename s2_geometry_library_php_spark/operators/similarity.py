@@ -203,6 +203,7 @@ def ann_lsh_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
+    n_vecs: int | None = None,
 ) -> DataFrame:
     """Approximate top-k: multi-probe equi-join on (table, bucket),
     exact cosine re-rank of the distinct candidates.  Candidates per
@@ -211,11 +212,15 @@ def ann_lsh_topk(
     ranking), so the result is oracle-checkable bit-for-bit.
 
     ``n_planes=None`` (default) auto-sizes to ``lsh_planes_for(N)``
-    (~log2 of the corpus count, one cheap count on the corpus side) —
-    the scaling rule BASELINE.md documents, now the code default; the
-    numpy twin applies the identical rule so oracles stay exact."""
+    — the scaling rule BASELINE.md documents, now the code default;
+    the numpy twin applies the identical rule so oracles stay exact.
+    Pass ``n_vecs`` when the corpus count is already known to skip
+    the sizing count (it re-runs the whole upstream plan when the
+    corpus is an expensive unmaterialized pipeline)."""
     if n_planes is None:
-        n_planes = lsh_planes_for(embeddings.count())
+        n_planes = lsh_planes_for(
+            n_vecs if n_vecs is not None else embeddings.count()
+        )
     dedup = _lsh_candidates(
         embeddings, queries, dim, n_planes, n_tables, n_flip,
         id_col, vec_col, query_id_col,
@@ -420,14 +425,18 @@ def ann_lsh_stats(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
+    n_vecs: int | None = None,
 ) -> DataFrame:
     """Per-query LSH quality evidence: (query_id, n_candidates,
     recall6) where recall6 = |LSH top-k ∩ exact top-k| / k rounded to
     6 places.  n_candidates measured from the same candidate set the
     top-k ranks over — the sub-linearity witness the 100 TB story
-    rests on.  ``n_planes=None`` auto-sizes like :func:`ann_lsh_topk`."""
+    rests on.  ``n_planes=None`` auto-sizes like :func:`ann_lsh_topk`
+    (pass ``n_vecs`` to skip the sizing count)."""
     if n_planes is None:
-        n_planes = lsh_planes_for(embeddings.count())
+        n_planes = lsh_planes_for(
+            n_vecs if n_vecs is not None else embeddings.count()
+        )
     dedup = _lsh_candidates(
         embeddings, queries, dim, n_planes, n_tables, n_flip,
         id_col, vec_col, query_id_col,

@@ -190,16 +190,13 @@ def plan_salt_buckets(
     return out
 
 
-def salted_repartition_planned(
-    docs: DataFrame,
-    level: int,
-    salt_plan: dict[int, int],
-    leaf_col: str = "cell_id",
-) -> DataFrame:
-    """Skew-defusing repartition with per-prefix salt counts from
-    :func:`plan_salt_buckets`: hot prefixes spread over their measured
-    bucket count, cold prefixes stay single-bucket (no extra shuffle
-    width wasted on the long tail)."""
+def salt_columns(
+    salt_plan: dict[int, int], level: int, leaf_col: str = "cell_id"
+):
+    """(prefix, salt) column pair implementing a salt plan from
+    :func:`plan_salt_buckets`.  The single definition both the
+    repartition and any balance/diagnostic measurement must share —
+    two inlined copies would silently drift apart."""
     prefix = s2_parent(F.col(leaf_col), level)
     if salt_plan:
         buckets = F.coalesce(
@@ -211,6 +208,20 @@ def salted_repartition_planned(
     else:
         buckets = F.lit(1)
     salt = (F.pmod(F.xxhash64(F.col(leaf_col)), buckets)).cast("int")
+    return prefix, salt
+
+
+def salted_repartition_planned(
+    docs: DataFrame,
+    level: int,
+    salt_plan: dict[int, int],
+    leaf_col: str = "cell_id",
+) -> DataFrame:
+    """Skew-defusing repartition with per-prefix salt counts from
+    :func:`plan_salt_buckets`: hot prefixes spread over their measured
+    bucket count, cold prefixes stay single-bucket (no extra shuffle
+    width wasted on the long tail)."""
+    prefix, salt = salt_columns(salt_plan, level, leaf_col)
     return docs.repartition(prefix, salt)
 
 

@@ -207,12 +207,26 @@ _TBL_ALIAS = re.compile(
     r"^([\w.]+)\s+(?:AS\s+)?(\w+)$", re.IGNORECASE
 )
 
+# What may legally follow the matched BETWEEN in the re-assembled SQL.
+# Anything else (an OR disjunction, arithmetic on a range bound, a
+# trailing semicolon, ...) means the textual splice would produce
+# invalid or wrong SQL -> fall back to the literal theta-join.
+_CLAUSE_KW = re.compile(
+    r"^(?:GROUP|ORDER|LIMIT|HAVING|WINDOW|UNION)\b", re.IGNORECASE
+)
+# the warning is about genuine range theta-joins only: a two-sided
+# column BETWEEN (qualifier.col BETWEEN qualifier.col AND ...), not a
+# scalar-literal BETWEEN filter that hash-plans fine
+_COL_BETWEEN = re.compile(
+    r"\w+\.\w+\s+BETWEEN\s+\w+\.", re.IGNORECASE
+)
+
 
 def _fallback(spark: SparkSession, sql: str, why: str) -> DataFrame:
     """Run the SQL unchanged, but LOUDLY: a BETWEEN θ-join that the
     rewrite declines is exactly the BroadcastNestedLoopJoin shape the
     module exists to remove, so the decline is logged, never silent."""
-    if re.search(r"\bBETWEEN\b", sql, re.IGNORECASE):
+    if _COL_BETWEEN.search(sql):
         _log.warning(
             "rewrite_range_join_sql: falling back to the literal "
             "theta-join (%s); expect a nested-loop plan. SQL: %.200s",
@@ -241,6 +255,15 @@ def rewrite_range_join_sql(spark: SparkSession, sql: str) -> DataFrame:
         if g["qa"] != g["a"] or g["qb1"] != g["b"] or g["qb2"] != g["b"]:
             return _fallback(spark, sql, "qualifier/alias mismatch")
         others = []
+        stripped = g["rest"].lstrip()
+        if stripped and not re.match(
+            r"^WHERE\b", stripped, re.IGNORECASE
+        ) and not _CLAUSE_KW.match(stripped):
+            # e.g. a compound ON (... AND p.x = r.y) — the splice
+            # would emit "FROM <view> AND ..." which does not parse
+            return _fallback(
+                spark, sql, "unsupported ON-clause continuation"
+            )
     else:
         m = _SQL_PAT_WHERE.match(sql)
         if not m:
@@ -270,6 +293,13 @@ def rewrite_range_join_sql(spark: SparkSession, sql: str) -> DataFrame:
         stripped = rest.lstrip()
         if re.match(r"^AND\b", stripped, re.IGNORECASE):
             g["rest"] = " WHERE " + stripped[3:].lstrip()
+        elif stripped and not _CLAUSE_KW.match(stripped):
+            # OR-disjunctions and arithmetic on a bound (BETWEEN
+            # r.lo AND r.hi + 1) change the predicate itself; the
+            # rewrite cannot represent them — run the SQL unchanged
+            return _fallback(
+                spark, sql, "unsupported WHERE-clause continuation"
+            )
 
     probe = spark.table(g["t1"])
     ranges = spark.table(g["t2"])

@@ -244,3 +244,64 @@ def test_rewrite_sql_bails_loudly_on_quoted_literals(spark, tables, caplog):
     want = spark.sql(sql).collect()
     assert [tuple(r) for r in rows] == [tuple(r) for r in want]
     assert any("falling back" in r.message for r in caplog.records)
+
+
+def test_rewrite_sql_where_form_or_continuation_falls_back(spark, tables):
+    """Code-review r4: an OR after the BETWEEN is part of the same
+    disjunction — the rewrite cannot splice it; it must fall back and
+    still return the correct rows (previously emitted invalid SQL)."""
+    sql = (
+        "SELECT region_id, COUNT(*) AS n FROM rj_probe p, rj_ranges r "
+        "WHERE p.leaf BETWEEN r.cell_min AND r.cell_max OR p.doc_id = 3 "
+        "GROUP BY region_id ORDER BY region_id"
+    )
+    got = rewrite_range_join_sql(spark, sql)
+    want = spark.sql(sql)
+    assert [tuple(r) for r in got.collect()] == [
+        tuple(r) for r in want.collect()
+    ]
+
+
+def test_rewrite_sql_arithmetic_bound_falls_back(spark, tables):
+    """`BETWEEN r.lo AND r.hi + 1` — the regex's mx group captures only
+    `hi`; splicing would silently drop the `+ 1`.  Must fall back."""
+    sql = (
+        "SELECT region_id, COUNT(*) AS n FROM rj_probe p, rj_ranges r "
+        "WHERE p.leaf BETWEEN r.cell_min AND r.cell_max + 1 "
+        "GROUP BY region_id ORDER BY region_id"
+    )
+    got = rewrite_range_join_sql(spark, sql)
+    want = spark.sql(sql)
+    assert [tuple(r) for r in got.collect()] == [
+        tuple(r) for r in want.collect()
+    ]
+
+
+def test_rewrite_sql_compound_on_clause_falls_back(spark, tables):
+    """JOIN arm: `ON p.leaf BETWEEN ... AND r.hi AND <extra>` leaves a
+    dangling AND the splice cannot place — must fall back, not emit
+    `FROM <view> AND ...`."""
+    sql = (
+        "SELECT region_id, COUNT(*) AS n FROM rj_probe p "
+        "JOIN rj_ranges r ON p.leaf BETWEEN r.cell_min AND r.cell_max "
+        "AND p.doc_id >= 0 GROUP BY region_id ORDER BY region_id"
+    )
+    got = rewrite_range_join_sql(spark, sql)
+    want = spark.sql(sql)
+    assert [tuple(r) for r in got.collect()] == [
+        tuple(r) for r in want.collect()
+    ]
+
+
+def test_fallback_warning_only_for_column_between(spark, tables, caplog):
+    """Code-review r4: a scalar-literal BETWEEN filter is not a range
+    theta-join — declining it must NOT emit the nested-loop warning."""
+    import logging as _logging
+
+    sql = "SELECT COUNT(*) AS n FROM rj_probe WHERE leaf BETWEEN 1 AND 2"
+    with caplog.at_level(
+        _logging.WARNING,
+        logger="s2_geometry_library_php_spark.plans.range_rewrite",
+    ):
+        rewrite_range_join_sql(spark, sql).collect()
+    assert not any("falling back" in r.message for r in caplog.records)
