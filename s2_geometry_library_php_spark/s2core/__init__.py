@@ -37,3 +37,4 @@ from .geom import (  # noqa: F401
     xyz_to_latlng,
 )
 from .metric import MIN_WIDTH, AVG_AREA, Metric  # noqa: F401
+from .angle import S1Angle, R2Vector  # noqa: F401

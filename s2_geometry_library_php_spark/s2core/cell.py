@@ -57,6 +57,31 @@ class R1Interval:
     def is_empty(self) -> bool:
         return self.lo > self.hi
 
+    def get_length(self) -> float:
+        """hi - lo; negative iff empty (R1Interval.php:62-64)."""
+        return self.hi - self.lo
+
+    def get_center(self) -> float:
+        """Midpoint (R1Interval.php:55-57)."""
+        return 0.5 * (self.lo + self.hi)
+
+    def interior_contains(self, p: float) -> bool:
+        """(R1Interval.php:76-78)."""
+        return self.lo < p < self.hi
+
+    def interior_intersects(self, y: "R1Interval") -> bool:
+        """Interior of self meets y (R1Interval.php:102-104)."""
+        return y.lo < self.hi and self.lo < y.hi and self.lo < self.hi and y.lo <= y.hi
+
+    def approx_equals(self, y: "R1Interval", max_error: float = 1e-15) -> bool:
+        """Symmetric endpoint tolerance; empty matches any interval of
+        length <= max_error (R1Interval.php:257-270)."""
+        if self.is_empty():
+            return y.get_length() <= max_error
+        if y.is_empty():
+            return self.get_length() <= max_error
+        return abs(y.lo - self.lo) + abs(y.hi - self.hi) <= max_error
+
     def contains(self, p: float) -> bool:
         return self.lo <= p <= self.hi
 
@@ -264,6 +289,42 @@ class LatLngRect:
     @staticmethod
     def full_lat() -> R1Interval:
         return R1Interval(-M_PI_2, M_PI_2)
+
+    @staticmethod
+    def full_lng() -> S1Interval:
+        """(S2LatLngRect.php:43-45)."""
+        return S1Interval.full()
+
+    @staticmethod
+    def from_point(lat: float, lng: float) -> "LatLngRect":
+        """Degenerate rect holding one latlng point, radians
+        (S2LatLngRect.php:62-65)."""
+        return LatLngRect(R1Interval(lat, lat), S1Interval(lng, lng))
+
+    @staticmethod
+    def from_center_size(
+        center_lat: float, center_lng: float, size_lat: float, size_lng: float
+    ) -> "LatLngRect":
+        """Rect of the given lat/lng span centered on a point, radians
+        (S2LatLngRect.php:57-59): the point rect expanded by size/2,
+        latitude clamped to the valid range."""
+        return LatLngRect.from_point(center_lat, center_lng).expanded(
+            0.5 * size_lat, 0.5 * size_lng
+        )
+
+    def expanded(self, margin_lat: float, margin_lng: float) -> "LatLngRect":
+        """Grow each side; lat intersected back into the valid range,
+        lng wrapping to full past a half-turn (S2LatLngRect.php:485-495)."""
+        if self.is_empty():
+            return self
+        return LatLngRect(
+            self.lat.expanded(margin_lat).intersection(LatLngRect.full_lat()),
+            self.lng.expanded(margin_lng),
+        )
+
+    def get_size(self) -> tuple[float, float]:
+        """(lat span, lng span) in radians (S2LatLngRect.php:312-314)."""
+        return self.lat.get_length(), self.lng.get_length()
 
     @staticmethod
     def from_point_pair(
@@ -670,6 +731,29 @@ class Cell:
     def from_face(face: int) -> "Cell":
         # fromFacePosLevel(face, 0, 0) (S2CellId.php:88-90)
         return Cell((face << cid.POS_BITS) + (1 << 60))
+
+    @staticmethod
+    def from_face_pos_level(face: int, pos: int, level: int) -> "Cell":
+        """Cell at (face, 61-bit Hilbert position, level)
+        (S2Cell.php:76-78, S2CellId.php:88-90): seed the leaf at
+        ``pos|1`` then truncate to the requested level."""
+        leaf = np.array([(face << cid.POS_BITS) + (pos | 1)], dtype=np.uint64)
+        return Cell(int(cid.parent(leaf, level)[0]))
+
+    def get_center_uv(self) -> tuple[float, float]:
+        """Center (u, v) on the cell's face (S2Cell.php:242-256).
+        Midpoint of the uv bounds computed at init — identical to the
+        reference's si/ti form because st_to_uv is monotone and the
+        center st is the exact midpoint of the aligned st bounds."""
+        face, i, j, _ = cid.decode_scalar(self.id)
+        cell_size = 1 << (cid.MAX_LEVEL - self.level)
+        k_scale = 1.0 / cid.MAX_SIZE
+        si = (i & -cell_size) * 2 + cell_size - cid.MAX_SIZE
+        ti = (j & -cell_size) * 2 + cell_size - cid.MAX_SIZE
+        return (
+            cid.st_to_uv_scalar(k_scale * si),
+            cid.st_to_uv_scalar(k_scale * ti),
+        )
 
     def get_vertex_raw(self, k: int) -> np.ndarray:
         """CCW order SW, SE, NE, NW (S2Cell.php:126-138)."""

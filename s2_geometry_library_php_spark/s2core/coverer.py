@@ -384,3 +384,34 @@ def covering_area_ratio(region: Region, covering: list[int]) -> float:
     for i in covering:
         total += Cell(i).exact_area()
     return total
+
+
+# --- cell union measures ------------------------------------------------------
+def leaf_cells_covered(ids) -> float:
+    """Number of level-30 leaves under the union, as a float — the
+    count overflows int64 past ~4 face cells (S2CellUnion.php:493-501
+    returns a PHP float for the same reason). Vectorized over the
+    id array; callers pass a normalized union."""
+    arr = np.asarray(ids, dtype=np.uint64)
+    if arr.size == 0:
+        return 0.0
+    inv = (cid.MAX_LEVEL - cid.level_of(arr)).astype(np.float64)
+    return float(np.sum(np.exp2(2.0 * inv)))
+
+
+def average_based_area(ids) -> float:
+    """Leaf count x average leaf area — O(n), no vertex math, up to
+    ~1.7x off from exact (S2CellUnion.php:516-518)."""
+    from .metric import AVG_AREA
+
+    return AVG_AREA.get_value(cid.MAX_LEVEL) * leaf_cells_covered(ids)
+
+
+def approx_area_union(ids) -> float:
+    """Sum of per-cell approx areas (S2CellUnion.php:526-533)."""
+    return float(sum(Cell(int(i)).approx_area() for i in np.asarray(ids, dtype=np.uint64)))
+
+
+def exact_area_union(ids) -> float:
+    """Sum of per-cell exact areas (S2CellUnion.php:541-548)."""
+    return float(sum(Cell(int(i)).exact_area() for i in np.asarray(ids, dtype=np.uint64)))
