@@ -16,3 +16,8 @@ from .similarity import (  # noqa: F401
     cosine_topk_brute,
     embedding_near_dup_pairs,
 )
+from .corpus_pipeline import (  # noqa: F401
+    annotate_corpus,
+    clean_corpus,
+    pipeline_stage_counts,
+)

@@ -1,0 +1,135 @@
+"""End-to-end corpus cleaning: the pipeline a pretraining corpus runs.
+
+Composes the engine's text / dedup / spatial primitives into the
+standard large-scale sequence
+
+    annotate -> language filter -> quality filter -> exact dedup
+             -> near-dup removal (MinHash LSH) -> tile assignment
+
+as ONE lazy DataFrame program: no stage materializes until the caller
+acts, so Catalyst sees the whole plan (filters push into the scan,
+annotation columns prune away when unused downstream).
+
+Scale shape (100 TB):
+
+* every stage is a narrow projection, an equi-join, or a partial-agg
+  groupBy — no theta-joins, no driver collects;
+* exact dedup keeps the MIN doc_id per content fingerprint (one
+  hash-shuffle on the fingerprint);
+* near-dup removal drops every document that LSH-pairs with a
+  smaller-id survivor — a single anti-join against the pair table's
+  `doc_b` side.  This is the standard GREEDY canonicalization: it
+  keeps the cluster minimum of every connected component discovered
+  at pair level without iterating transitive closure (an exact
+  connected-components pass is an iterative join loop whose extra
+  passes buy almost nothing on near-dup graphs, which are
+  overwhelmingly cliques of rewrites of one source page);
+* tile assignment is the same vectorized encode used by the flagship
+  join, so the cleaned corpus lands ready for
+  :func:`~..sources.bucketed.write_bucketed` on ``tile_id``.
+
+No reference counterpart (the reference is a geometry library); this
+is the LLM-data-pipeline layer (SURVEY "beyond the reference").
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions import s2_cell_id
+from ..functions.dedup import exact_duplicate_groups, minhash_band_pairs
+from ..functions.text import (
+    lang_id_column,
+    quality_columns,
+    token_count_column,
+)
+
+#: default quality gates — deliberately loose; real corpora tune these
+DEFAULT_MIN_TOKENS = 3
+DEFAULT_MAX_PUNCT_RATIO = 0.5
+
+
+def annotate_corpus(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Attach the standard per-document signals as columns: language
+    guess, quality ratios, token count, leaf cell id.  Pure native-SQL
+    expressions — stays inside WholeStageCodegen."""
+    out = docs.withColumn("lang_guess", lang_id_column(text_col))
+    for name, col in quality_columns(text_col).items():
+        out = out.withColumn(name, col)
+    out = out.withColumn("n_tokens", token_count_column(text_col))
+    if "lat" in docs.columns and "lon" in docs.columns:
+        out = out.withColumn("cell_id", s2_cell_id("lat", "lon"))
+    return out
+
+
+def clean_corpus(
+    spark: SparkSession,
+    docs: DataFrame,
+    text_col: str = "text",
+    langs: tuple[str, ...] | None = ("en",),
+    min_tokens: int = DEFAULT_MIN_TOKENS,
+    max_punct_ratio: float = DEFAULT_MAX_PUNCT_RATIO,
+    near_dup_threshold: float | None = 0.8,
+    tile_level: int = 8,
+) -> DataFrame:
+    """The cleaned corpus as one lazy plan.  ``docs`` must carry
+    ``doc_id`` and ``text_col``; ``lat``/``lon`` enable tile columns.
+
+    ``langs=None`` skips the language gate; ``near_dup_threshold=None``
+    skips the LSH stage (exact dedup always runs).  Determinism: every
+    keep/drop decision is a pure function of document content and
+    doc_id ordering, so reruns produce identical survivor sets."""
+    annotated = annotate_corpus(docs, text_col)
+
+    gated = annotated.where(
+        (F.col("n_tokens") >= F.lit(min_tokens))
+        & (F.col("punct_ratio") <= F.lit(max_punct_ratio))
+    )
+    if langs is not None:
+        gated = gated.where(F.col("lang_guess").isin(list(langs)))
+
+    # exact dedup: keep the min doc_id of each identical-content group
+    keepers = exact_duplicate_groups(gated, text_col).select(
+        F.col("keeper_doc_id").alias("doc_id")
+    )
+    exact_unique = gated.join(keepers, "doc_id", "left_semi")
+
+    if near_dup_threshold is not None:
+        pairs = minhash_band_pairs(
+            exact_unique, text_col, threshold=near_dup_threshold
+        )
+        losers = pairs.select(F.col("doc_b").alias("doc_id")).distinct()
+        survivors = exact_unique.join(losers, "doc_id", "left_anti")
+    else:
+        survivors = exact_unique
+
+    if "cell_id" in survivors.columns:
+        survivors = survivors.withColumn(
+            "tile_id",
+            F.expr(
+                f"cast(shiftrightunsigned(cell_id, "
+                f"{64 - 3 - 2 * tile_level}) as long)"
+            ),
+        )
+    return survivors
+
+
+def pipeline_stage_counts(
+    spark: SparkSession,
+    docs: DataFrame,
+    text_col: str = "text",
+    **kwargs,
+) -> dict[str, int]:
+    """Per-stage survivor counts for pipeline monitoring.  Runs the
+    stages eagerly (one action per stage) — a diagnostic, not the
+    production path; production jobs act once on
+    :func:`clean_corpus`'s single plan."""
+    counts = {"input": docs.count()}
+    gated_only = clean_corpus(
+        spark, docs, text_col, near_dup_threshold=None, **kwargs
+    )
+    counts["after_gates_and_exact_dedup"] = gated_only.count()
+    full = clean_corpus(spark, docs, text_col, **kwargs)
+    counts["after_near_dup"] = full.count()
+    return counts

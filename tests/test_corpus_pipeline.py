@@ -1,0 +1,95 @@
+"""clean_corpus: the composed annotate -> gate -> exact-dedup ->
+near-dup -> tile pipeline keeps exactly the documents it should."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from s2_geometry_library_php_spark.operators import (
+    annotate_corpus,
+    clean_corpus,
+    pipeline_stage_counts,
+)
+from s2_geometry_library_php_spark.sources import load_documents
+
+EN = (
+    "the quick brown fox jumps over the lazy dog and runs with the "
+    "pack through the woods for a while and then rests by the river"
+)
+EN2 = (
+    "a completely different english document that talks about the "
+    "weather and the sea and the mountains for quite a long while"
+)
+DE = (
+    "der schnelle braune fuchs springt und der hund schlaeft nicht "
+    "und die katze ist auch da mit der maus und das haus ist gross"
+)
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    rows = [
+        # survivors
+        (0, EN, 10.0, 20.0),
+        (1, EN2, -30.0, 50.0),
+        # exact duplicate of 0 -> dropped (keeper is min doc_id)
+        (2, EN, 11.0, 21.0),
+        # near duplicate of 1 (one word changed) -> dropped by LSH
+        (3, EN2.replace("mountains", "hills"), -30.0, 50.0),
+        # german -> dropped by the language gate
+        (4, DE, 48.0, 11.0),
+        # too short -> dropped by the token gate
+        (5, "ok", 0.0, 0.0),
+        # pure punctuation -> dropped by the punct-ratio gate
+        (6, "!!! ??? ;;; ::: ,,, ... !!! ??? ;;; ::: ,,, ...", 0.0, 0.0),
+    ]
+    return spark.createDataFrame(
+        rows, "doc_id long, text string, lat double, lon double"
+    )
+
+
+def test_clean_corpus_keeps_exactly_the_survivors(spark, corpus):
+    got = clean_corpus(spark, corpus)
+    ids = sorted(r.doc_id for r in got.select("doc_id").collect())
+    assert ids == [0, 1]
+
+
+def test_clean_corpus_is_deterministic(spark, corpus):
+    a = sorted(r.doc_id for r in clean_corpus(spark, corpus).collect())
+    b = sorted(r.doc_id for r in clean_corpus(spark, corpus).collect())
+    assert a == b
+
+
+def test_exact_dedup_keeps_min_doc_id(spark, corpus):
+    # with near-dup off, doc 3 survives but the exact dup 2 never does
+    got = clean_corpus(spark, corpus, near_dup_threshold=None)
+    ids = sorted(r.doc_id for r in got.select("doc_id").collect())
+    assert 2 not in ids and 0 in ids and 3 in ids
+
+
+def test_tile_assignment_matches_annotation(spark, corpus):
+    got = clean_corpus(spark, corpus, tile_level=8)
+    rows = got.select("doc_id", "cell_id", "tile_id").collect()
+    for r in rows:
+        assert r.tile_id == (r.cell_id & 0xFFFFFFFFFFFFFFFF) >> (64 - 3 - 16)
+
+
+def test_stage_counts_monotone_on_real_docs(spark):
+    docs = load_documents(spark, "/root/testdata/sf0.001").select(
+        "doc_id", "text", "lat", "lon"
+    )
+    counts = pipeline_stage_counts(spark, docs, langs=None, min_tokens=1)
+    assert (
+        counts["input"]
+        >= counts["after_gates_and_exact_dedup"]
+        >= counts["after_near_dup"]
+        > 0
+    )
+
+
+def test_annotate_adds_signals_without_touching_rows(spark, corpus):
+    ann = annotate_corpus(corpus)
+    assert ann.count() == corpus.count()
+    for c in ("lang_guess", "punct_ratio", "n_tokens", "cell_id"):
+        assert c in ann.columns
+    langs = {r.doc_id: r.lang_guess for r in ann.collect()}
+    assert langs[0] == "en" and langs[4] == "de"
