@@ -19,5 +19,6 @@ from .similarity import (  # noqa: F401
 from .corpus_pipeline import (  # noqa: F401
     annotate_corpus,
     clean_corpus,
+    min_label_components,
     pipeline_stage_counts,
 )

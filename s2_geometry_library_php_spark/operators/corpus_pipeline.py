@@ -50,6 +50,58 @@ DEFAULT_MIN_TOKENS = 3
 DEFAULT_MAX_PUNCT_RATIO = 0.5
 
 
+def min_label_components(
+    pairs: DataFrame, max_iters: int = 20
+) -> DataFrame:
+    """Connected components of the near-dup pair graph by min-label
+    propagation: every node converges to the smallest doc_id reachable
+    from it.  Output: (node, component).
+
+    Shape per iteration: one equi-join (labels onto edge endpoints) +
+    one partial-agg groupBy — both hash-shuffled on doc_id, no
+    cross products.  ``localCheckpoint`` cuts the lineage each round
+    so the plan stays flat over iterations (same pathology the kNN
+    ring loop documents).  Converges in O(graph diameter) rounds;
+    near-dup graphs are clique-like, so 2-3 rounds is typical.  The
+    driver-side loop runs one ``count()`` per round purely as the
+    convergence test — probe-sized, not data-sized."""
+    edges = pairs.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    ).union(
+        pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+    )
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("component", F.col("node"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iters):
+        nbr = edges.join(
+            labels.select(
+                F.col("node").alias("dst"), F.col("component")
+            ),
+            "dst",
+        ).select(F.col("src").alias("node"), "component")
+        new_labels = (
+            labels.select("node", "component")
+            .union(nbr)
+            .groupBy("node")
+            .agg(F.min("component").alias("component"))
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .where(F.col("n.component") != F.col("o.component"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
 def annotate_corpus(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Attach the standard per-document signals as columns: language
     guess, quality ratios, token count, leaf cell id.  Pure native-SQL
@@ -72,6 +124,7 @@ def clean_corpus(
     max_punct_ratio: float = DEFAULT_MAX_PUNCT_RATIO,
     near_dup_threshold: float | None = 0.8,
     tile_level: int = 8,
+    transitive: bool = False,
 ) -> DataFrame:
     """The cleaned corpus as one lazy plan.  ``docs`` must carry
     ``doc_id`` and ``text_col``; ``lat``/``lon`` enable tile columns.
@@ -99,7 +152,17 @@ def clean_corpus(
         pairs = minhash_band_pairs(
             exact_unique, text_col, threshold=near_dup_threshold
         )
-        losers = pairs.select(F.col("doc_b").alias("doc_id")).distinct()
+        if transitive:
+            # exact clusters: keep only each connected component's min
+            # (greedy can keep b from pairs {(a,c),(b,c)} even though
+            # b and a share the c-cluster; CC merges them).  Costs
+            # O(diameter) iterative joins — opt-in.
+            comp = min_label_components(pairs)
+            losers = comp.where(
+                F.col("node") != F.col("component")
+            ).select(F.col("node").alias("doc_id"))
+        else:
+            losers = pairs.select(F.col("doc_b").alias("doc_id")).distinct()
         survivors = exact_unique.join(losers, "doc_id", "left_anti")
     else:
         survivors = exact_unique

@@ -93,3 +93,67 @@ def test_annotate_adds_signals_without_touching_rows(spark, corpus):
         assert c in ann.columns
     langs = {r.doc_id: r.lang_guess for r in ann.collect()}
     assert langs[0] == "en" and langs[4] == "de"
+
+
+def test_min_label_components_chain_and_islands(spark):
+    from s2_geometry_library_php_spark.operators import min_label_components
+
+    pairs = spark.createDataFrame(
+        # a 6-node path (needs multiple propagation rounds) + an island
+        [(1, 2), (2, 3), (3, 4), (4, 5), (5, 6), (20, 21)],
+        "doc_a long, doc_b long",
+    )
+    comp = {
+        r.node: r.component for r in min_label_components(pairs).collect()
+    }
+    assert comp == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 6: 1, 20: 20, 21: 20}
+
+
+def test_transitive_mode_matches_union_find_oracle(spark):
+    """clean_corpus(transitive=True) keeps exactly one doc (the min
+    id) per connected component of the ACTUAL LSH pair graph —
+    verified against a driver-side union-find over the same pairs."""
+    from s2_geometry_library_php_spark.functions.dedup import (
+        minhash_band_pairs,
+    )
+
+    base = (
+        "the quick brown fox jumps over the lazy dog and runs with the "
+        "pack through the woods for a while and then rests by the river"
+    )
+    rows = [(i, base.replace("river", w), 0.0, 0.0) for i, w in enumerate(
+        ["river", "stream", "creek", "lake"]
+    )]
+    rows.append((10, "an entirely unrelated short note about cooking "
+                     "pasta with plenty of garlic and some fresh basil "
+                     "leaves for the evening meal at home", 0.0, 0.0))
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lat double, lon double"
+    )
+
+    got = sorted(
+        r.doc_id
+        for r in clean_corpus(
+            spark, docs, langs=None, transitive=True
+        ).collect()
+    )
+
+    # oracle: union-find over the pair graph the pipeline sees
+    pairs = [
+        (r.doc_a, r.doc_b)
+        for r in minhash_band_pairs(docs, threshold=0.8).collect()
+    ]
+    parent = {r[0]: r[0] for r in rows}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = sorted({find(i) for i, *_ in rows})
+    assert got == want
