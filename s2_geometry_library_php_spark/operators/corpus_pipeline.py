@@ -99,6 +99,18 @@ def min_label_components(
         labels = new_labels
         if changed == 0:
             break
+    else:
+        # unconverged labels are a valid REFINEMENT (components may
+        # stay split, so dedup keeps extra docs — never drops wrong
+        # ones), but the caller should know
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "min_label_components: not converged after %d iterations "
+            "(%d labels still changing); components may be split",
+            max_iters,
+            changed,
+        )
     return labels
 
 
