@@ -157,3 +157,42 @@ def test_transitive_mode_matches_union_find_oracle(spark):
             parent[max(ra, rb)] = min(ra, rb)
     want = sorted({find(i) for i, *_ in rows})
     assert got == want
+
+
+def test_min_label_components_random_graphs_match_union_find(spark):
+    """Seeded random pair graphs: distributed min-label propagation ==
+    driver union-find on every graph."""
+    import random
+
+    from s2_geometry_library_php_spark.operators import min_label_components
+
+    rng = random.Random(7)
+    for trial in range(4):
+        n = rng.randrange(8, 30)
+        edges = sorted(
+            {
+                tuple(sorted(rng.sample(range(n), 2)))
+                for _ in range(rng.randrange(4, 25))
+            }
+        )
+        pairs = spark.createDataFrame(edges, "doc_a long, doc_b long")
+        got = {
+            r.node: r.component
+            for r in min_label_components(pairs).collect()
+        }
+
+        parent = list(range(n))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        nodes_in_graph = {v for e in edges for v in e}
+        want = {v: find(v) for v in nodes_in_graph}
+        assert got == want, (trial, edges)
