@@ -1,0 +1,211 @@
+"""Repetition-based quality gates for web-corpus cleaning
+(Gopher / C4-style rules: Rae et al. 2021 §A1.1, Raffel et al. 2020).
+
+Five per-document repetition signals, each a pure native Spark SQL
+expression (JVM-side, whole-stage codegen — no Python in the hot
+path) with an exact DuckDB twin for the driver's oracle checks:
+
+- ``dup_line_fraction``        — fraction of lines that repeat an
+  earlier line (Gopher's duplicate-line rule; lines split on ``\\n``).
+- ``dup_line_char_fraction``   — fraction of line characters sitting
+  in repeat occurrences (for each distinct line, occurrences beyond
+  the first contribute ``length(line)`` chars).
+- ``top2gram_char_fraction``   — characters covered by the most
+  frequent word 2-gram (count × gram length, spaces included) over
+  total characters; 0 unless the top gram occurs at least twice (a
+  deliberate adaptation of Gopher's rule — a count-1 gram is not
+  repetition, and on short documents its raw char fraction would
+  dominate the signal).  Ties break to the lexicographically
+  smallest gram, deterministically on both engines.
+- ``top3gram_char_fraction``   — same for 3-grams.
+- ``dup_5gram_fraction``       — fraction of word 5-gram occurrences
+  that repeat an earlier one.
+
+Scale shape: every signal is a per-row projection — linear in corpus
+size, no shuffle, no UDF.  The top-``n``-gram argmax is O(d²) in the
+number of *distinct* grams per document (a filter scan per distinct
+gram), which is bounded by document length, not corpus size; at
+100 TB it rides the same single scan as the rest of the quality
+columns.
+
+There is no reference counterpart (the reference is a geometry
+library); these rules come from the published corpus-cleaning
+literature and feed ``operators/corpus_pipeline.clean_corpus``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Gopher-flavoured default thresholds (Rae et al. 2021 table A1,
+# adapted: our synthetic corpus has no newlines so the line rules
+# only fire on real webtext).
+DEFAULT_THRESHOLDS = {
+    "dup_line_fraction": 0.30,
+    "dup_line_char_fraction": 0.20,
+    "top2gram_char_fraction": 0.20,
+    "top3gram_char_fraction": 0.18,
+    "dup_5gram_fraction": 0.15,
+}
+
+
+def _sum_long(arr: Column) -> Column:
+    return F.aggregate(arr, F.lit(0).cast("long"), lambda acc, x: acc + x)
+
+
+def _grams(words: Column, n: int) -> Column:
+    """Word n-grams joined by a single space; empty when the document
+    has fewer than ``n`` words."""
+    k = F.size(words) - F.lit(n) + F.lit(1)
+    # Guard: Spark's sequence(1, k) walks DOWNWARD when k < 1 (it
+    # infers a negative step), which would fabricate bogus indices.
+    seq = F.when(k >= 1, F.sequence(F.lit(1), k)).otherwise(
+        F.array().cast("array<int>")
+    )
+    return F.transform(seq, lambda i: F.concat_ws(" ", F.slice(words, i, n)))
+
+
+def _top_gram_char_fraction(grams: Column, n_chars: Column) -> Column:
+    """count(most frequent gram) * length(gram) / total chars.
+
+    Deterministic argmax on both engines: minimize the struct
+    (-count, gram), i.e. max count then lexicographically smallest
+    gram.
+    """
+    structs = F.transform(
+        F.array_distinct(grams),
+        lambda g: F.struct(
+            (-F.size(F.filter(grams, lambda x: x == g))).alias("nc"),
+            g.alias("g"),
+        ),
+    )
+    best = F.array_min(structs)
+    return F.when(
+        (F.size(grams) > 0) & (-best["nc"] >= 2),
+        F.round(
+            (-best["nc"] * F.length(best["g"])).cast("double")
+            / F.greatest(n_chars, F.lit(1)),
+            6,
+        ),
+    ).otherwise(F.lit(0.0))
+
+
+def _dup_occurrence_fraction(grams: Column) -> Column:
+    """(occurrences - distinct) / occurrences — the fraction of gram
+    occurrences that repeat an earlier one."""
+    n = F.size(grams)
+    return F.when(
+        n > 0,
+        F.round(
+            (n - F.size(F.array_distinct(grams))).cast("double") / n, 6
+        ),
+    ).otherwise(F.lit(0.0))
+
+
+def repetition_columns(text_col: str = "text") -> dict[str, Column]:
+    """The five repetition signals as named native Columns."""
+    text = F.col(text_col)
+    n_chars = F.length(text)
+    words = F.split(text, " ")
+    lines = F.split(text, "\n")
+
+    n_lines = F.size(lines)
+    dup_line_fraction = F.round(
+        (n_lines - F.size(F.array_distinct(lines))).cast("double")
+        / F.greatest(n_lines, F.lit(1)),
+        6,
+    )
+    # chars contributed by occurrences beyond each line's first one
+    rep_chars = _sum_long(
+        F.transform(
+            F.array_distinct(lines),
+            lambda l: (F.size(F.filter(lines, lambda x: x == l)) - 1)
+            * F.length(l),
+        )
+    )
+    line_chars = _sum_long(F.transform(lines, F.length))
+    dup_line_char_fraction = F.round(
+        rep_chars.cast("double") / F.greatest(line_chars, F.lit(1)), 6
+    )
+
+    return {
+        "dup_line_fraction": dup_line_fraction,
+        "dup_line_char_fraction": dup_line_char_fraction,
+        "top2gram_char_fraction": _top_gram_char_fraction(
+            _grams(words, 2), n_chars
+        ),
+        "top3gram_char_fraction": _top_gram_char_fraction(
+            _grams(words, 3), n_chars
+        ),
+        "dup_5gram_fraction": _dup_occurrence_fraction(_grams(words, 5)),
+    }
+
+
+def repetition_gate_column(
+    text_col: str = "text",
+    thresholds: dict[str, float] | None = None,
+) -> Column:
+    """True when the document passes ALL repetition thresholds
+    (strictly below each) — the keep-side of a Gopher-style gate."""
+    th = dict(DEFAULT_THRESHOLDS)
+    if thresholds:
+        th.update(thresholds)
+    cols = repetition_columns(text_col)
+    keep = F.lit(True)
+    for name, limit in th.items():
+        keep = keep & (cols[name] < F.lit(float(limit)))
+    return keep
+
+
+# --- DuckDB twins -------------------------------------------------------------------
+def _ddb_grams(text_col: str, n: int) -> str:
+    w = f"string_split({text_col}, ' ')"
+    # range(1, k+1) is empty for k < 1 in DuckDB — no guard needed.
+    return (
+        f"list_transform(range(1, len({w}) - {n} + 2), "
+        f"i -> array_to_string({w}[i:i+{n - 1}], ' '))"
+    )
+
+
+def _ddb_top(text_col: str, n: int) -> str:
+    g = _ddb_grams(text_col, n)
+    best = (
+        f"list_sort(list_transform(list_distinct({g}), "
+        f"gg -> {{'nc': -len(list_filter({g}, x -> x = gg)), 'g': gg}}))[1]"
+    )
+    return (
+        f"CASE WHEN len({g}) > 0 AND -({best}.nc) >= 2 THEN "
+        f"round((-({best}.nc) * length({best}.g)) / "
+        f"CAST(greatest(length({text_col}), 1) AS DOUBLE), 6) "
+        f"ELSE 0.0 END"
+    )
+
+
+def repetition_duckdb(text_col: str = "text") -> dict[str, str]:
+    """DuckDB twins of :func:`repetition_columns` — value-identical
+    SQL for the driver's side-by-side oracle."""
+    lines = f"string_split({text_col}, chr(10))"
+    g5 = _ddb_grams(text_col, 5)
+    rep_chars = (
+        f"list_sum(list_transform(list_distinct({lines}), "
+        f"l -> (len(list_filter({lines}, x -> x = l)) - 1) * length(l)))"
+    )
+    line_chars = f"list_sum(list_transform({lines}, x -> length(x)))"
+    return {
+        "dup_line_fraction": (
+            f"round((len({lines}) - len(list_distinct({lines}))) / "
+            f"CAST(greatest(len({lines}), 1) AS DOUBLE), 6)"
+        ),
+        "dup_line_char_fraction": (
+            f"round(coalesce({rep_chars}, 0) / "
+            f"CAST(greatest(coalesce({line_chars}, 0), 1) AS DOUBLE), 6)"
+        ),
+        "top2gram_char_fraction": _ddb_top(text_col, 2),
+        "top3gram_char_fraction": _ddb_top(text_col, 3),
+        "dup_5gram_fraction": (
+            f"CASE WHEN len({g5}) > 0 THEN "
+            f"round((len({g5}) - len(list_distinct({g5}))) / "
+            f"CAST(len({g5}) AS DOUBLE), 6) ELSE 0.0 END"
+        ),
+    }

@@ -39,6 +39,7 @@ from pyspark.sql import functions as F
 
 from ..functions import s2_cell_id
 from ..functions.dedup import exact_duplicate_groups, minhash_band_pairs
+from ..functions.quality_gates import repetition_gate_column
 from ..functions.text import (
     lang_id_column,
     quality_columns,
@@ -137,6 +138,7 @@ def clean_corpus(
     near_dup_threshold: float | None = 0.8,
     tile_level: int = 8,
     transitive: bool = False,
+    repetition_thresholds: dict[str, float] | None = None,
 ) -> DataFrame:
     """The cleaned corpus as one lazy plan.  ``docs`` must carry
     ``doc_id`` and ``text_col``; ``lat``/``lon`` enable tile columns.
@@ -153,6 +155,13 @@ def clean_corpus(
     )
     if langs is not None:
         gated = gated.where(F.col("lang_guess").isin(list(langs)))
+    if repetition_thresholds is not None:
+        # Gopher-style repetition gate (quality_gates.py); pass {} for
+        # the published default thresholds.  Native SQL — rides the
+        # same scan as the other gates.
+        gated = gated.where(
+            repetition_gate_column(text_col, repetition_thresholds)
+        )
 
     # exact dedup: keep the min doc_id of each identical-content group
     keepers = exact_duplicate_groups(gated, text_col).select(

@@ -1,0 +1,222 @@
+"""Repetition-quality gates (functions/quality_gates.py): crafted
+webtext fixtures vs a pure-Python twin, Spark vs DuckDB twin
+equivalence on real testdata, and the pipeline gate behavior."""
+
+import os
+from collections import Counter
+
+import duckdb
+import pandas as pd
+import pytest
+
+from s2_geometry_library_php_spark.functions.quality_gates import (
+    DEFAULT_THRESHOLDS,
+    repetition_columns,
+    repetition_duckdb,
+    repetition_gate_column,
+)
+
+SF = "/root/testdata/sf0.001"
+
+NAMES = [
+    "dup_line_fraction",
+    "dup_line_char_fraction",
+    "top2gram_char_fraction",
+    "top3gram_char_fraction",
+    "dup_5gram_fraction",
+]
+
+
+def ref_signals(text: str) -> dict[str, float]:
+    """Pure-Python twin of repetition_columns."""
+    lines = text.split("\n")
+    n_lines = len(lines)
+    lc = Counter(lines)
+    rep_chars = sum((c - 1) * len(l) for l, c in lc.items())
+    line_chars = sum(len(l) for l in lines)
+    words = text.split(" ")
+    n_chars = len(text)
+
+    def top(n: int) -> float:
+        grams = [
+            " ".join(words[i : i + n]) for i in range(len(words) - n + 1)
+        ]
+        if not grams:
+            return 0.0
+        cnt = Counter(grams)
+        nc, g = min((-c, g) for g, c in cnt.items())
+        if -nc < 2:
+            return 0.0
+        return round(-nc * len(g) / max(n_chars, 1), 6)
+
+    def dup(n: int) -> float:
+        grams = [
+            " ".join(words[i : i + n]) for i in range(len(words) - n + 1)
+        ]
+        if not grams:
+            return 0.0
+        return round((len(grams) - len(set(grams))) / len(grams), 6)
+
+    return {
+        "dup_line_fraction": round(
+            (n_lines - len(set(lines))) / max(n_lines, 1), 6
+        ),
+        "dup_line_char_fraction": round(rep_chars / max(line_chars, 1), 6),
+        "top2gram_char_fraction": top(2),
+        "top3gram_char_fraction": top(3),
+        "dup_5gram_fraction": dup(5),
+    }
+
+
+FIXTURES = [
+    # (doc_id, text) — real-webtext shapes the synthetic corpus lacks
+    (0, "the cat sat on the mat and the cat sat again"),
+    (1, "buy now\nbuy now\nbuy now\nlimited offer"),           # dup lines
+    (2, "spam spam spam spam spam spam spam spam"),            # 1 hot gram
+    (3, "line one\nline two\nline three"),                     # unique lines
+    (4, "a b c d e a b c d e a b c d e a b c d e"),            # dup 5-grams
+    (5, "word"),                                               # < n words
+    (6, ""),                                                   # empty
+    (7, "x y\nx y\nlonger unique line here\nx y"),             # mixed
+    (8, "tie tie bar bar"),  # 2-gram tie -> lexicographic break
+]
+
+
+@pytest.fixture(scope="module")
+def fixture_df(spark):
+    return spark.createDataFrame(
+        pd.DataFrame(FIXTURES, columns=["doc_id", "text"])
+    )
+
+
+def _collect_signals(df):
+    from pyspark.sql import functions as F
+
+    cols = repetition_columns("text")
+    rows = (
+        df.select(
+            "doc_id", *[c.alias(n) for n, c in cols.items()]
+        )
+        .orderBy("doc_id")
+        .collect()
+    )
+    return {r["doc_id"]: {n: r[n] for n in NAMES} for r in rows}
+
+
+def test_fixtures_match_python_twin(fixture_df):
+    got = _collect_signals(fixture_df)
+    for doc_id, text in FIXTURES:
+        want = ref_signals(text)
+        for n in NAMES:
+            assert got[doc_id][n] == pytest.approx(want[n], abs=1.5e-6), (
+                doc_id,
+                n,
+                text,
+            )
+
+
+def test_fixture_values_sanity(fixture_df):
+    got = _collect_signals(fixture_df)
+    # 3 of 4 lines identical
+    assert got[1]["dup_line_fraction"] == pytest.approx(0.5)
+    assert got[1]["dup_line_char_fraction"] > 0.4
+    # "spam spam" covers nearly all of doc 2
+    assert got[2]["top2gram_char_fraction"] > 0.2
+    assert got[4]["dup_5gram_fraction"] > 0.5
+    # degenerate docs -> all zeros
+    for doc_id in (5, 6):
+        for n in NAMES:
+            assert got[doc_id][n] == 0.0
+    # unique lines -> zero line dup
+    assert got[3]["dup_line_fraction"] == 0.0
+
+
+def test_spark_duckdb_twins_on_fixtures(fixture_df, tmp_path):
+    pq = os.path.join(str(tmp_path), "fx.parquet")
+    fixture_df.toPandas().to_parquet(pq)
+    con = duckdb.connect()
+    exprs = repetition_duckdb("text")
+    sql = "SELECT doc_id, " + ", ".join(
+        f"{e} AS {n}" for n, e in exprs.items()
+    ) + f" FROM read_parquet('{pq}') ORDER BY doc_id"
+    ddb = con.execute(sql).fetchall()
+    got = _collect_signals(fixture_df)
+    for row in ddb:
+        doc_id = row[0]
+        for i, n in enumerate(NAMES):
+            assert got[doc_id][n] == pytest.approx(row[i + 1], abs=1e-9), (
+                doc_id,
+                n,
+            )
+
+
+def test_spark_duckdb_twins_on_testdata(spark):
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    got = _collect_signals(docs)
+    con = duckdb.connect()
+    exprs = repetition_duckdb("text")
+    sql = "SELECT doc_id, " + ", ".join(
+        f"{e} AS {n}" for n, e in exprs.items()
+    ) + f" FROM read_parquet('{SF}/documents.parquet') ORDER BY doc_id"
+    mismatches = 0
+    for row in con.execute(sql).fetchall():
+        for i, n in enumerate(NAMES):
+            if got[row[0]][n] != pytest.approx(row[i + 1], abs=1e-9):
+                mismatches += 1
+    assert mismatches == 0
+    # the word-gram signals must be non-trivial on the corpus
+    assert any(v["top2gram_char_fraction"] > 0.05 for v in got.values())
+
+
+def test_repetition_gate_keeps_and_drops(fixture_df):
+    kept = {
+        r["doc_id"]
+        for r in fixture_df.where(repetition_gate_column("text")).collect()
+    }
+    # spam/repeat docs fail the gate, clean docs pass
+    assert 2 not in kept          # one hot 2-gram
+    assert 4 not in kept          # duplicate 5-grams
+    assert 1 not in kept          # duplicate lines
+    assert 0 not in kept          # 11-char trigram repeated in 45 chars
+    assert 3 in kept              # unique lines
+    assert 8 in kept              # count-1 gram ties are not repetition
+
+
+def test_gate_custom_threshold_overrides(fixture_df):
+    # loosening every threshold far enough keeps everything (note:
+    # overlapping-gram char fractions can exceed 1.0)
+    loose = {n: 10.0 for n in DEFAULT_THRESHOLDS}
+    kept = fixture_df.where(
+        repetition_gate_column("text", loose)
+    ).count()
+    assert kept == len(FIXTURES)
+
+
+def test_clean_corpus_repetition_gate_wires_through(spark):
+    from pyspark.sql import functions as F
+
+    from s2_geometry_library_php_spark.operators.corpus_pipeline import (
+        clean_corpus,
+    )
+
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            [
+                (1, "the quick brown fox is that with and of to in it"),
+                (2, "spam spam spam spam spam spam spam the and of to"),
+            ],
+            columns=["doc_id", "text"],
+        )
+    )
+    base = clean_corpus(
+        spark, df, langs=None, near_dup_threshold=None
+    )
+    gated = clean_corpus(
+        spark,
+        df,
+        langs=None,
+        near_dup_threshold=None,
+        repetition_thresholds={},
+    )
+    assert {r["doc_id"] for r in base.select("doc_id").collect()} == {1, 2}
+    assert {r["doc_id"] for r in gated.select("doc_id").collect()} == {1}
