@@ -1022,16 +1022,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     def q_text_analysis(spark, sf):
-        """lang-ID + token count + fingerprint + quality scores in one
-        row per doc (merges r2's lang_id / quality / token_count)."""
+        """lang-ID + token count + fingerprint + quality scores +
+        Gopher-style repetition signals in one row per doc (merges
+        r2's lang_id / quality / token_count; r4 adds
+        functions/quality_gates.repetition_columns)."""
+        from s2_geometry_library_php_spark.functions.quality_gates import (
+            repetition_columns,
+        )
+
         docs = spark.read.parquet(f"{sf}/documents.parquet")
         cols = quality_columns("text")
+        rep = repetition_columns("text")
         return docs.select(
             "doc_id",
             lang_id_column("text").alias("lang_pred"),
             token_count_column("text").alias("n_tokens"),
             fingerprint_column("text").alias("fingerprint"),
             *[c.alias(n) for n, c in cols.items()],
+            *[c.alias(n) for n, c in rep.items()],
         )
 
     def q_cellset_algebra(spark, sf):
@@ -1871,12 +1879,19 @@ WHERE round(len(list_intersect(a.sh, b.sh)) /
 """
 
     qcols = quality_duckdb("text")
+    from s2_geometry_library_php_spark.functions.quality_gates import (
+        repetition_duckdb,
+    )
+
+    rep_exprs = repetition_duckdb("text")
     out["text_analysis"] = (
         "SELECT doc_id, "
         f"{lang_id_duckdb('text')} AS lang_pred, "
         f"{token_count_duckdb('text')} AS n_tokens, "
         f"{fingerprint_duckdb('text')} AS fingerprint, "
         + ", ".join(f"{expr} AS {name}" for name, expr in qcols.items())
+        + ", "
+        + ", ".join(f"{expr} AS {name}" for name, expr in rep_exprs.items())
         + " FROM documents"
     )
 
