@@ -220,3 +220,40 @@ def test_clean_corpus_repetition_gate_wires_through(spark):
     )
     assert {r["doc_id"] for r in base.select("doc_id").collect()} == {1, 2}
     assert {r["doc_id"] for r in gated.select("doc_id").collect()} == {1}
+
+
+# --- hypothesis fuzz: random webtext vs the pure-Python twin -------------------------
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+# Small vocab + newlines forces line/gram collisions; occasional long
+# runs exercise the hot-gram argmax ties.
+_WORD = st.sampled_from(["the", "cat", "spam", "a", "bb", "offer", "now"])
+_SEP = st.sampled_from([" ", " ", " ", "\n"])
+
+
+@st.composite
+def _webtext(draw):
+    n = draw(st.integers(min_value=0, max_value=40))
+    parts = []
+    for i in range(n):
+        if i:
+            parts.append(draw(_SEP))
+        parts.append(draw(_WORD))
+    return "".join(parts)
+
+
+@settings(max_examples=4, deadline=None)
+@given(st.lists(_webtext(), min_size=1, max_size=25))
+def test_repetition_fuzz_matches_python_twin(spark, texts):
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            [(i, t) for i, t in enumerate(texts)],
+            columns=["doc_id", "text"],
+        )
+    )
+    got = _collect_signals(df)
+    for i, t in enumerate(texts):
+        want = ref_signals(t)
+        for n in NAMES:
+            assert got[i][n] == pytest.approx(want[n], abs=1.5e-6), (n, t)
