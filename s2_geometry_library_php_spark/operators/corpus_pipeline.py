@@ -39,6 +39,7 @@ from pyspark.sql import functions as F
 
 from ..functions import s2_cell_id
 from ..functions.dedup import exact_duplicate_groups, minhash_band_pairs
+from ..functions.boilerplate import strip_boilerplate
 from ..functions.quality_gates import repetition_gate_column
 from ..functions.text import (
     lang_id_column,
@@ -139,6 +140,7 @@ def clean_corpus(
     tile_level: int = 8,
     transitive: bool = False,
     repetition_thresholds: dict[str, float] | None = None,
+    strip_site_boilerplate: bool = False,
 ) -> DataFrame:
     """The cleaned corpus as one lazy plan.  ``docs`` must carry
     ``doc_id`` and ``text_col``; ``lat``/``lon`` enable tile columns.
@@ -147,6 +149,12 @@ def clean_corpus(
     skips the LSH stage (exact dedup always runs).  Determinism: every
     keep/drop decision is a pure function of document content and
     doc_id ordering, so reruns produce identical survivor sets."""
+    if strip_site_boilerplate:
+        # RefinedWeb-style per-host frequent-line removal
+        # (functions/boilerplate.py) BEFORE annotation, so the gates
+        # judge the content that survives, not the nav chrome.
+        # Requires a `url` column.
+        docs = strip_boilerplate(docs, text_col)
     annotated = annotate_corpus(docs, text_col)
 
     gated = annotated.where(
