@@ -485,6 +485,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     def q_extract_text(spark, sf):
+        """HTML text extraction (byte-identical round trip) + URL
+        canonicalization / canonical-URL keeper selection
+        (functions/urltools.py — CCNet/C4-style crawl dedup).  The
+        crawl URL is synthesized deterministically from doc_id by a
+        SQL expression shared verbatim with the DuckDB oracle, so the
+        canonical form and keeper assignment are hash-checked
+        end-to-end."""
+        from pyspark.sql import Window
+
+        from s2_geometry_library_php_spark.functions.urltools import (
+            canonical_url_column,
+            synth_messy_url_sql,
+        )
         from s2_geometry_library_php_spark.sources.documents import (
             extract_text,
             synth_html,
@@ -492,9 +505,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         docs = spark.read.parquet(f"{sf}/documents.parquet")
         # byte-identical invariant: extract_text(synth_html(text)) == text
-        return docs.select(
+        d = docs.select(
             "doc_id",
             extract_text(synth_html(F.col("text"))).alias("extracted"),
+            F.expr(synth_messy_url_sql("doc_id")).alias("crawl_url"),
+        ).withColumn("canonical_url", canonical_url_column("crawl_url"))
+        w = Window.partitionBy("canonical_url")
+        return d.withColumn(
+            "url_keeper_doc_id", F.min("doc_id").over(w)
         )
 
     def q_ann_cosine(spark, sf):
@@ -1895,7 +1913,24 @@ WHERE round(len(list_intersect(a.sh, b.sh)) /
         + " FROM documents"
     )
 
-    out["extract_text"] = "SELECT doc_id, text AS extracted FROM documents"
+    from s2_geometry_library_php_spark.functions.urltools import (
+        canonical_url_duckdb,
+        synth_messy_url_sql,
+    )
+
+    out["extract_text"] = f"""
+WITH u AS (
+  SELECT doc_id, text, {synth_messy_url_sql('doc_id')} AS crawl_url
+  FROM documents
+), c AS (
+  SELECT doc_id, text, crawl_url,
+         {canonical_url_duckdb('crawl_url')} AS canonical_url
+  FROM u
+)
+SELECT doc_id, text AS extracted, crawl_url, canonical_url,
+       min(doc_id) OVER (PARTITION BY canonical_url) AS url_keeper_doc_id
+FROM c
+"""
 
     out["streaming_dedup"] = (
         f"SELECT DISTINCT {fingerprint_duckdb('text')} AS fingerprint "

@@ -41,6 +41,7 @@ from ..functions import s2_cell_id
 from ..functions.dedup import exact_duplicate_groups, minhash_band_pairs
 from ..functions.boilerplate import strip_boilerplate
 from ..functions.quality_gates import repetition_gate_column
+from ..functions.urltools import url_dedup
 from ..functions.text import (
     lang_id_column,
     quality_columns,
@@ -141,6 +142,7 @@ def clean_corpus(
     transitive: bool = False,
     repetition_thresholds: dict[str, float] | None = None,
     strip_site_boilerplate: bool = False,
+    dedup_by_url: bool = False,
 ) -> DataFrame:
     """The cleaned corpus as one lazy plan.  ``docs`` must carry
     ``doc_id`` and ``text_col``; ``lat``/``lon`` enable tile columns.
@@ -149,6 +151,11 @@ def clean_corpus(
     skips the LSH stage (exact dedup always runs).  Determinism: every
     keep/drop decision is a pure function of document content and
     doc_id ordering, so reruns produce identical survivor sets."""
+    if dedup_by_url:
+        # CCNet/C4-style re-crawl removal (functions/urltools.py)
+        # FIRST — cheapest discriminator, shrinks every later stage.
+        # Requires a `url` column.
+        docs = url_dedup(docs)
     if strip_site_boilerplate:
         # RefinedWeb-style per-host frequent-line removal
         # (functions/boilerplate.py) BEFORE annotation, so the gates

@@ -196,3 +196,19 @@ def test_min_label_components_random_graphs_match_union_find(spark):
         nodes_in_graph = {v for e in edges for v in e}
         want = {v: find(v) for v in nodes_in_graph}
         assert got == want, (trial, edges)
+
+
+def test_clean_corpus_dedup_by_url_drops_recrawls(spark):
+    rows = [
+        (0, EN, "http://www.a.com/page?utm_source=x"),
+        (1, EN2, "HTTP://A.com/page/"),  # same canonical as 0 -> dropped
+        (2, EN2, "https://a.com/page"),  # scheme differs -> kept
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, url string"
+    )
+    got = clean_corpus(
+        spark, docs, near_dup_threshold=None, dedup_by_url=True
+    )
+    ids = sorted(r.doc_id for r in got.select("doc_id").collect())
+    assert ids == [0, 2]
