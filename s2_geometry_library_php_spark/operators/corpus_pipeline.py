@@ -41,6 +41,7 @@ from ..functions import s2_cell_id
 from ..functions.dedup import exact_duplicate_groups, minhash_band_pairs
 from ..functions.boilerplate import strip_boilerplate
 from ..functions.quality_gates import repetition_gate_column
+from ..functions.paragraph_dedup import strip_duplicate_paragraphs
 from ..functions.urltools import url_dedup
 from ..functions.text import (
     lang_id_column,
@@ -143,6 +144,7 @@ def clean_corpus(
     repetition_thresholds: dict[str, float] | None = None,
     strip_site_boilerplate: bool = False,
     dedup_by_url: bool = False,
+    strip_paragraph_dups: bool = False,
 ) -> DataFrame:
     """The cleaned corpus as one lazy plan.  ``docs`` must carry
     ``doc_id`` and ``text_col``; ``lat``/``lon`` enable tile columns.
@@ -162,6 +164,11 @@ def clean_corpus(
         # judge the content that survives, not the nav chrome.
         # Requires a `url` column.
         docs = strip_boilerplate(docs, text_col)
+    if strip_paragraph_dups:
+        # Lee et al.-style corpus-global duplicate-paragraph removal
+        # (functions/paragraph_dedup.py) — after host boilerplate,
+        # before annotation, so gates judge the deduplicated prose.
+        docs = strip_duplicate_paragraphs(docs, text_col)
     annotated = annotate_corpus(docs, text_col)
 
     gated = annotated.where(

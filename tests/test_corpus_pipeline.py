@@ -212,3 +212,24 @@ def test_clean_corpus_dedup_by_url_drops_recrawls(spark):
     )
     ids = sorted(r.doc_id for r in got.select("doc_id").collect())
     assert ids == [0, 2]
+
+
+def test_clean_corpus_paragraph_dedup_stage(spark):
+    license_block = (
+        "this work is licensed under the creative commons attribution "
+        "share alike license and may be copied freely by anyone"
+    )
+    rows = [
+        (0, f"{EN}\n\n{license_block}", 10.0, 20.0),
+        (1, f"{EN2}\n\n{license_block}", -30.0, 50.0),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lat double, lon double"
+    )
+    got = clean_corpus(
+        spark, docs, near_dup_threshold=None, strip_paragraph_dups=True
+    )
+    texts = {r.doc_id: r.text for r in got.select("doc_id", "text").collect()}
+    # doc 0 keeps the global first occurrence; doc 1's copy is stripped
+    assert texts[0] == f"{EN}\n\n{license_block}"
+    assert texts[1] == EN2
