@@ -1044,20 +1044,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         Gopher-style repetition signals in one row per doc (merges
         r2's lang_id / quality / token_count; r4 adds
         functions/quality_gates.repetition_columns)."""
+        from pyspark.sql import Window
+
         from s2_geometry_library_php_spark.functions.quality_gates import (
             repetition_columns,
+        )
+        from s2_geometry_library_php_spark.operators.sampling import (
+            sample_priority_column,
         )
 
         docs = spark.read.parquet(f"{sf}/documents.parquet")
         cols = quality_columns("text")
         rep = repetition_columns("text")
-        return docs.select(
+        base = docs.select(
             "doc_id",
             lang_id_column("text").alias("lang_pred"),
             token_count_column("text").alias("n_tokens"),
             fingerprint_column("text").alias("fingerprint"),
             *[c.alias(n) for n, c in cols.items()],
             *[c.alias(n) for n, c in rep.items()],
+        ).withColumn(
+            "sample_priority", sample_priority_column("doc_id")
+        )
+        # deterministic stratified quota sample (operators/sampling.py):
+        # the 50 smallest priorities per predicted language
+        w = Window.partitionBy("lang_pred").orderBy(
+            F.col("sample_priority").asc(), F.col("doc_id").asc()
+        )
+        return base.withColumn(
+            "in_lang_sample", F.row_number().over(w) <= 50
         )
 
     def q_cellset_algebra(spark, sf):
@@ -1902,15 +1917,23 @@ WHERE round(len(list_intersect(a.sh, b.sh)) /
     )
 
     rep_exprs = repetition_duckdb("text")
+    from s2_geometry_library_php_spark.operators.sampling import (
+        sample_priority_duckdb,
+    )
+
     out["text_analysis"] = (
-        "SELECT doc_id, "
+        "WITH base AS (SELECT doc_id, "
         f"{lang_id_duckdb('text')} AS lang_pred, "
         f"{token_count_duckdb('text')} AS n_tokens, "
         f"{fingerprint_duckdb('text')} AS fingerprint, "
         + ", ".join(f"{expr} AS {name}" for name, expr in qcols.items())
         + ", "
         + ", ".join(f"{expr} AS {name}" for name, expr in rep_exprs.items())
-        + " FROM documents"
+        + " FROM documents), pri AS (SELECT *, "
+        f"{sample_priority_duckdb('doc_id')} AS sample_priority FROM base) "
+        "SELECT *, (row_number() OVER (PARTITION BY lang_pred "
+        "ORDER BY sample_priority, doc_id)) <= 50 AS in_lang_sample "
+        "FROM pri"
     )
 
     from s2_geometry_library_php_spark.functions.urltools import (

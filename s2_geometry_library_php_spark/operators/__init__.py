@@ -16,6 +16,11 @@ from .similarity import (  # noqa: F401
     cosine_topk_brute,
     embedding_near_dup_pairs,
 )
+from .sampling import (  # noqa: F401
+    hash_mixture_sample,
+    sample_priority_column,
+    stratified_quota_sample,
+)
 from .corpus_pipeline import (  # noqa: F401
     annotate_corpus,
     clean_corpus,
