@@ -258,6 +258,25 @@ def _run_suite(spark, sf_dir: str) -> tuple[dict, dict]:
         lambda: minhash_band_pairs(base.select("doc_id", "text")).count(),
     )
 
+    # The COMPOSED cleaning pipeline (operators/corpus_pipeline) as one
+    # lazy plan over the full replicated corpus: annotate -> language +
+    # quality gates -> exact dedup (collapses the replicas, the
+    # realistic crawl shape) -> MinHash near-dup on the survivors ->
+    # tile assignment.  Throughput here is the number a 100 TB curation
+    # job projects from.
+    from s2_geometry_library_php_spark.operators import clean_corpus
+
+    def corpus_pipeline():
+        return clean_corpus(
+            spark, docs.select("doc_id", "text", "lat", "lon")
+        ).count()
+
+    n_clean = timed("corpus_clean_pipeline", corpus_pipeline)
+    extras["pipeline_docs_per_sec"] = round(
+        n_docs / timings["corpus_clean_pipeline"], 1
+    )
+    extras["pipeline_survivors"] = n_clean
+
     def text_pipeline():
         cols = quality_columns("text")
         return (
