@@ -16,6 +16,7 @@ from .similarity import (  # noqa: F401
     cosine_topk_brute,
     embedding_near_dup_pairs,
 )
+from .scan import global_running_sum, pack_sequences  # noqa: F401
 from .sampling import (  # noqa: F401
     hash_mixture_sample,
     sample_priority_column,
