@@ -449,3 +449,56 @@ def test_streaming_sessionize_across_microbatches(spark, tmp_path):
         ).collect()
     }
     assert got == {1: (2, 4), 2: (2, 2)}
+
+
+def test_streaming_url_dedup_across_microbatches(spark, tmp_path):
+    """A canonical-URL re-crawl arriving in a LATER micro-batch must
+    be suppressed by the canonical-url state (streaming twin of
+    functions/urltools.url_dedup)."""
+    from s2_geometry_library_php_spark.streaming import (
+        streaming_distinct_urls,
+    )
+
+    src = str(tmp_path / "ud_src")
+    b1 = spark.createDataFrame(
+        [(i, f"http://www.site{i}.com/page/?utm_source=x") for i in range(20)],
+        "doc_id long, url string",
+    ).withColumn("warc_ts", F.current_timestamp())
+    b1.coalesce(1).write.parquet(src)
+    # batch 2: 20 re-crawls under messier spellings (same canonical
+    # form: scheme case, bare host, fragment) + 5 fresh URLs
+    b2 = spark.createDataFrame(
+        [(100 + i, f"HTTP://SITE{i}.COM:80/page#top") for i in range(20)]
+        + [(200 + i, f"http://fresh{i}.org/x") for i in range(5)],
+        "doc_id long, url string",
+    ).withColumn("warc_ts", F.current_timestamp())
+    b2.coalesce(1).write.mode("append").parquet(src)
+
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    import tempfile
+    import uuid
+
+    ckpt = f"{tempfile.gettempdir()}/s2udtest_{uuid.uuid4().hex[:8]}"
+    q = (
+        streaming_distinct_urls(stream)
+        .select("doc_id", "canonical_url")
+        .writeStream.format("memory")
+        .queryName("ud_test_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    q.awaitTermination(180)
+    rows = spark.table("ud_test_out").collect()
+    urls = [r["canonical_url"] for r in rows]
+    ids = {r["doc_id"] for r in rows}
+    # 20 batch-1 survivors + 5 fresh; every messy re-crawl suppressed
+    assert len(urls) == len(set(urls)) == 25
+    assert "http://site0.com/page" in urls
+    assert not any(100 <= i < 200 for i in ids)
