@@ -306,10 +306,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     def q_tile_rollup(spark, sf):
-        tiles = tile_aggregate(_docs(spark, sf), TILE_LEVEL)
-        return tile_rollup(tiles, TILE_LEVEL, [6, 4]).select(
-            "level", "tile_token", "doc_count"
+        """Fixed-level rollup chain (kind='rollup') UNION the
+        density-adaptive quadtree tiling (kind='adaptive',
+        operators/tiling.py plan_adaptive_tiling): per-area coarsest
+        level in [4,10] holding <= N/64 rows.  The oracle twin derives
+        the same tiling per-LEAF (coarsest qualifying ancestor walk) —
+        a different algorithm from the engine's histogram semi-joins."""
+        from s2_geometry_library_php_spark.operators.tiling import (
+            plan_adaptive_tiling,
         )
+
+        docs = _docs(spark, sf)
+        tiles = tile_aggregate(docs, TILE_LEVEL)
+        rolled = (
+            tile_rollup(tiles, TILE_LEVEL, [6, 4])
+            .select("level", "tile_token", "doc_count")
+            .withColumn("kind", F.lit("rollup"))
+        )
+        target = max(1, docs.count() // 64)
+        adaptive = (
+            plan_adaptive_tiling(docs, target, 4, 10)
+            .withColumn("tile_token", s2_token_sql("tile_id"))
+            .select("level", "tile_token", "doc_count")
+            .withColumn("kind", F.lit("adaptive"))
+        )
+        return rolled.unionByName(adaptive)
 
     def q_spatial_join(spark, sf):
         docs = _docs(spark, sf).select("doc_id", "lat", "lon", "cell_id")
@@ -1305,12 +1326,45 @@ def _kernel_oracles() -> dict[str, str]:
                 rows, [("tile_token", "VARCHAR"), ("doc_count", "BIGINT")]
             )
         else:
+            # adaptive-quadtree twin, per-LEAF formulation: each leaf
+            # takes its COARSEST ancestor in [4,10] whose tile count
+            # fits the target, else its level-10 ancestor (hot floor).
+            # The engine derives the same set via histogram rollups +
+            # hot-parent semi-joins — independent algorithms.
+            rows = [(lvl, t, c, "rollup") for (lvl, t, c) in rows]
+            min_l, max_l = 4, 10
+            target = max(1, leaf.shape[0] // 64)
+            lvls = list(range(min_l, max_l + 1))
+            parents = {lv: cid.parent(leaf, lv) for lv in lvls}
+            chosen = np.full(leaf.shape[0], max_l, dtype=np.int64)
+            unset = np.ones(leaf.shape[0], dtype=bool)
+            for lv in lvls:
+                _, inv, cnt = np.unique(
+                    parents[lv], return_inverse=True, return_counts=True
+                )
+                hit = unset & (cnt[inv] <= target)
+                chosen[hit] = lv
+                unset &= ~hit
+            tile = np.zeros(leaf.shape[0], dtype=np.uint64)
+            for lv in lvls:
+                m = chosen == lv
+                tile[m] = parents[lv][m]
+            uniq_t, cnt_t = np.unique(tile, return_counts=True)
+            rows.extend(
+                (int(lv), t, int(c), "adaptive")
+                for lv, t, c in zip(
+                    cid.level_of(uniq_t).tolist(),
+                    cid.token_from_id(uniq_t),
+                    cnt_t.tolist(),
+                )
+            )
             _ORACLE_CACHE[name] = _values_sql(
                 rows,
                 [
                     ("level", "INTEGER"),
                     ("tile_token", "VARCHAR"),
                     ("doc_count", "BIGINT"),
+                    ("kind", "VARCHAR"),
                 ],
             )
 

@@ -34,6 +34,11 @@ def _run_suite(spark, sf_dir: str) -> tuple[dict, dict]:
         tile_aggregate,
         tile_rollup,
     )
+    from s2_geometry_library_php_spark.operators.tiling import (
+        assign_adaptive_tiles,
+        plan_adaptive_tiling,
+        tile_balance,
+    )
     from s2_geometry_library_php_spark.operators.knn import knn_join
     from s2_geometry_library_php_spark.operators.similarity import (
         cosine_topk_brute,
@@ -229,6 +234,43 @@ def _run_suite(spark, sf_dir: str) -> tuple[dict, dict]:
         "salt_plan_max_buckets": max(salt_plan.values(), default=1),
         "balance_unsalted": _key_balance(_prefix),
         "balance_salted": _key_balance(_prefix, _salt.alias("_salt")),
+    }
+
+    # density-adaptive quadtree tiling on the SAME skewed corpus: the
+    # data-layout answer to the skew the salting defuses at shuffle
+    # time — timed end-to-end (histogram plan + shuffle-free broadcast
+    # assignment + per-tile count)
+    _ad_target = max(1, n_docs // 256)
+
+    def adaptive_tiling():
+        tiles = plan_adaptive_tiling(enc_sk, _ad_target, 4, 12)
+        return assign_adaptive_tiles(enc_sk, tiles, 4, 12).count()
+
+    timed("adaptive_tiling_plan_assign", adaptive_tiling)
+    _tiles_ad = plan_adaptive_tiling(
+        enc_sk, _ad_target, 4, 12
+    ).localCheckpoint()
+    a_max, a_mean, a_k = tile_balance(
+        assign_adaptive_tiles(enc_sk, _tiles_ad, 4, 12)
+    )
+    f_max, f_mean, f_k = tile_balance(
+        enc_sk.withColumn("tile_id", s2_parent(F.col("cell_id"), 8))
+    )
+    extras["adaptive_tiling"] = {
+        "target_rows_per_tile": _ad_target,
+        "n_tiles": a_k,
+        "level_span": [4, 12],
+        "balance_adaptive": {
+            "max_rows": a_max,
+            "mean_rows": round(a_mean, 1),
+            "max_over_mean": round(a_max / max(a_mean, 1), 2),
+        },
+        "balance_fixed_l8": {
+            "n_tiles": f_k,
+            "max_rows": f_max,
+            "mean_rows": round(f_mean, 1),
+            "max_over_mean": round(f_max / max(f_mean, 1), 2),
+        },
     }
 
     encoded = docs.withColumn("cell_id", s2_cell_id("lat", "lon"))

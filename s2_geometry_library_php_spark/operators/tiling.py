@@ -254,6 +254,199 @@ def collapse_full_sibling_tiles(
     return collapsed.unionByName(kept)
 
 
+def plan_adaptive_tiling(
+    docs: DataFrame,
+    target_rows_per_tile: int,
+    min_level: int = 4,
+    max_level: int = 10,
+    leaf_col: str = "cell_id",
+) -> DataFrame:
+    """Density-adaptive quadtree tiling: choose, per area, the COARSEST
+    level in [min_level, max_level] whose tile holds at most
+    ``target_rows_per_tile`` rows.  Dense areas (hot cities) descend to
+    fine tiles; sparse ocean stays coarse — the data-layout answer to
+    the same hot-tile skew the salting machinery defuses at shuffle
+    time (north rule: explicit skew handling on cell-ID prefixes).
+
+    Selection rule (applied level by level on the rolled-up histogram,
+    never on the raw docs): a level-L tile is kept iff
+
+    * its own count <= target (or L == max_level: the hot floor —
+      a tile still over target at the finest level is kept anyway and
+      handed to :func:`salted_repartition_planned` downstream), AND
+    * L == min_level, or its parent's count > target (otherwise the
+      parent was already kept and this tile is interior).
+
+    Counts are monotone non-increasing with level along an ancestor
+    chain, so every occupied leaf has EXACTLY one kept ancestor: the
+    output is a disjoint covering of the occupied space — the same
+    invariant S2CellUnion.normalize maintains (S2CellUnion.php:619-643),
+    derived from data density instead of geometry.
+
+    Scale shape: ONE shuffle of the docs (the level-``max_level``
+    histogram groupBy, with map-side partial aggregation); every
+    coarser histogram re-aggregates the previous level's tiny output;
+    the keep/split decisions are broadcast semi-joins on histogram-
+    sized frames.  At 10^12 rows the level-10 histogram is at most a
+    few million rows — driver never sees it.
+
+    ``target_rows_per_tile`` is a planning scalar: at bench scale we
+    pass an exact count; a 100-TB job reads the table row count from
+    catalog metadata (free in Iceberg/Delta snapshots) or estimates it
+    from a sample exactly like :func:`plan_salt_buckets`.
+
+    Returns (level:int, tile_id:long, doc_count:long).
+    """
+    if not min_level <= max_level:
+        raise ValueError("min_level must be <= max_level")
+    t = int(target_rows_per_tile)
+    counts: dict[int, DataFrame] = {}
+    fine = (
+        docs.groupBy(s2_parent(F.col(leaf_col), max_level).alias("tile_id"))
+        .agg(F.count(F.lit(1)).alias("doc_count"))
+        .localCheckpoint(eager=False)
+    )
+    counts[max_level] = fine
+    prev = fine
+    for lvl in range(max_level - 1, min_level - 1, -1):
+        prev = (
+            prev.groupBy(s2_parent(F.col("tile_id"), lvl).alias("tile_id"))
+            .agg(F.sum("doc_count").alias("doc_count"))
+            .localCheckpoint(eager=False)
+        )
+        counts[lvl] = prev
+    kept = None
+    for lvl in range(min_level, max_level + 1):
+        c = counts[lvl]
+        if lvl < max_level:
+            c = c.where(F.col("doc_count") <= t)
+        if lvl > min_level:
+            hot = (
+                counts[lvl - 1]
+                .where(F.col("doc_count") > t)
+                .select(F.col("tile_id").alias("_hot_parent"))
+            )
+            c = c.join(
+                F.broadcast(hot),
+                s2_parent(F.col("tile_id"), lvl - 1) == F.col("_hot_parent"),
+                "left_semi",
+            )
+        piece = c.select(
+            F.lit(lvl).alias("level"), "tile_id", "doc_count"
+        )
+        kept = piece if kept is None else kept.unionByName(piece)
+    return kept
+
+
+def assign_adaptive_tiles(
+    docs: DataFrame,
+    tiles: DataFrame,
+    min_level: int = 4,
+    max_level: int = 10,
+    leaf_col: str = "cell_id",
+) -> DataFrame:
+    """Assign each doc to its (unique) adaptive tile from
+    :func:`plan_adaptive_tiling` without shuffling the docs: one
+    broadcast LEFT hash join per level present in the tiling — the
+    doc side's join key is the pure bitwise parent expression, so the
+    whole chain stays inside whole-stage codegen and the 100-TB frame
+    never moves.  (A single join after exploding each doc to all its
+    ancestors would amplify the big side K-fold before the join —
+    strictly worse.)
+
+    Adds ``tile_id`` and ``tile_level`` columns."""
+    tiles = tiles.localCheckpoint(eager=False)
+    out = docs
+    id_cols = []
+    lvl_cols = []
+    for lvl in range(min_level, max_level + 1):
+        side = tiles.where(F.col("level") == lvl).select(
+            F.col("tile_id").alias(f"_at{lvl}")
+        )
+        out = out.join(
+            F.broadcast(side),
+            s2_parent(F.col(leaf_col), lvl) == F.col(f"_at{lvl}"),
+            "left",
+        )
+        id_cols.append(F.col(f"_at{lvl}"))
+        lvl_cols.append(
+            F.when(F.col(f"_at{lvl}").isNotNull(), F.lit(lvl))
+        )
+    out = (
+        out.withColumn("tile_id", F.coalesce(*id_cols))
+        .withColumn("tile_level", F.coalesce(*lvl_cols))
+        .drop(*[f"_at{lvl}" for lvl in range(min_level, max_level + 1)])
+    )
+    return out
+
+
+def write_adaptive_partitioned(
+    df: DataFrame,
+    path: str,
+    tiles: DataFrame,
+    min_level: int = 4,
+    max_level: int = 10,
+    leaf_col: str = "cell_id",
+) -> None:
+    """Persist a corpus partitioned by its ADAPTIVE tile token (from
+    :func:`plan_adaptive_tiling`): unlike the fixed-level layout of
+    :func:`write_tile_partitioned`, every partition directory holds at
+    most ~target rows by construction, so file sizes stay bounded under
+    arbitrary density skew — the property an Iceberg-style table needs
+    to keep compaction and scan planning sane at 10^12 rows.  Rows are
+    Hilbert-clustered inside partitions for min/max file pruning."""
+    out = (
+        assign_adaptive_tiles(df, tiles, min_level, max_level, leaf_col)
+        .withColumn("tile_pfx", s2_token_sql("tile_id"))
+        .drop("tile_id", "tile_level")
+    )
+    hilbert_sorted_writer(out, leaf_col).write.partitionBy(
+        "tile_pfx"
+    ).mode("overwrite").parquet(path)
+
+
+def read_adaptive_partition(
+    spark,
+    path: str,
+    cell_id: int,
+    min_level: int = 4,
+    max_level: int = 10,
+) -> DataFrame:
+    """Read back exactly the adaptive partition holding ``cell_id``:
+    the owning tile is SOME ancestor in [min_level, max_level], and
+    exactly one of those tokens exists as a partition value, so an
+    ``IN`` filter over the <= (max-min+1) ancestor tokens prunes to one
+    directory at plan time (Catalyst PartitionFilters) — no tile-set
+    lookup needed at read time."""
+    import numpy as np
+
+    from ..s2core import cellid as cid
+
+    ids = cid.from_signed(np.asarray([cell_id], dtype=np.int64))
+    toks = [
+        cid.token_from_id(cid.parent(ids, lvl))[0]
+        for lvl in range(min_level, max_level + 1)
+    ]
+    return spark.read.parquet(path).where(F.col("tile_pfx").isin(toks))
+
+
+def tile_balance(assigned: DataFrame, tile_col: str = "tile_id"):
+    """(max_rows, mean_rows, n_tiles) over the per-tile row histogram —
+    the skew diagnostic the bench reports for fixed vs adaptive vs
+    salted layouts.  One aggregation over the (small) histogram."""
+    row = (
+        assigned.groupBy(tile_col)
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .agg(
+            F.max("_n").alias("mx"),
+            F.avg("_n").alias("mean"),
+            F.count(F.lit(1)).alias("k"),
+        )
+        .collect()[0]
+    )
+    return int(row.mx), float(row.mean), int(row.k)
+
+
 def hilbert_sorted_writer(
     df: DataFrame, leaf_col: str = "cell_id", n_files: int | None = None
 ):
