@@ -93,6 +93,18 @@ def lang_id_duckdb(text_col: str = "text") -> str:
     )
 
 
+# The alnum+space class spelled out as a translate() deletion list:
+# counting chars OUTSIDE [A-Za-z0-9 ] via length(translate(text, LIST,
+# '')) is value-identical to the regexp_replace formulation (both count
+# code points) but runs as a per-char map lookup instead of a regex
+# matcher — measured 33x faster on the sf0.1 corpus (0.47s vs 15.45s
+# for 500k docs), and this expression sits on every gate pass of the
+# cleaning pipeline.  The DuckDB twin keeps the regexp spelling.
+_ALNUM_SPACE = (
+    "ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz0123456789 "
+)
+
+
 # --- quality scoring ----------------------------------------------------------------
 def quality_columns(text_col: str = "text") -> dict[str, Column]:
     """Length / punctuation / stopword-ratio quality signals."""
@@ -100,16 +112,16 @@ def quality_columns(text_col: str = "text") -> dict[str, Column]:
     words = F.split(text, " ")
     n_chars = F.length(text)
     n_words = F.size(words)
-    alnum = F.length(F.regexp_replace(text, "[^A-Za-z0-9 ]", ""))
+    n_punct = F.length(F.translate(text, _ALNUM_SPACE, ""))
     punct_ratio = F.round(
-        (n_chars - alnum).cast("double") / F.greatest(n_chars, F.lit(1)), 6
+        n_punct.cast("double") / F.greatest(n_chars, F.lit(1)), 6
     )
     stop_hits = F.size(F.filter(words, lambda w: w.isin(STOPWORDS)))
     stopword_ratio = F.round(
         stop_hits.cast("double") / F.greatest(n_words, F.lit(1)), 6
     )
     mean_word_len = F.round(
-        F.length(F.regexp_replace(text, " ", "")).cast("double")
+        F.length(F.translate(text, " ", "")).cast("double")
         / F.greatest(n_words, F.lit(1)),
         6,
     )

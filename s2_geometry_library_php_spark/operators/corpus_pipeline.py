@@ -73,7 +73,10 @@ def min_label_components(
         F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
     ).union(
         pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
-    )
+    ).localCheckpoint()  # pairs (the whole LSH plan) computes ONCE,
+    # not once per propagation round — the loop below re-reads edges
+    # every iteration, and without the cut each re-read re-runs
+    # shingling + signatures + the band self-join upstream
     labels = (
         edges.select(F.col("src").alias("node"))
         .distinct()
@@ -145,6 +148,7 @@ def clean_corpus(
     strip_site_boilerplate: bool = False,
     dedup_by_url: bool = False,
     strip_paragraph_dups: bool = False,
+    reuse: bool = True,
 ) -> DataFrame:
     """The cleaned corpus as one lazy plan.  ``docs`` must carry
     ``doc_id`` and ``text_col``; ``lat``/``lon`` enable tile columns.
@@ -152,7 +156,23 @@ def clean_corpus(
     ``langs=None`` skips the language gate; ``near_dup_threshold=None``
     skips the LSH stage (exact dedup always runs).  Determinism: every
     keep/drop decision is a pure function of document content and
-    doc_id ordering, so reruns produce identical survivor sets."""
+    doc_id ordering, so reruns produce identical survivor sets.
+
+    ``reuse=True`` marks the annotated+gated frame for persistence
+    (lazy ``persist(MEMORY_AND_DISK)`` — the plan still materializes
+    only on the caller's first action).  The downstream dedup DAG
+    references that frame from up to six operator subtrees (the exact
+    -dedup groupBy, both sides of the LSH band self-join through the
+    keeper semi-join, and the final anti-join's left side); without
+    reuse Spark re-executes the gate scan — the regex-heavy
+    whole-stage-codegen pass that dominates pipeline cost — once per
+    subtree.  On a cluster this is exactly the stage-boundary
+    materialization the lineage design prescribes between gates and
+    dedup (``plans/lineage.py``: each pipeline stage checkpoints its
+    output so a killed job resumes); in-session ``persist`` is the
+    same boundary without the table write.  Set ``reuse=False`` for a
+    fully unmaterialized plan (e.g. when the caller persists or
+    checkpoints a different cut itself)."""
     if dedup_by_url:
         # CCNet/C4-style re-crawl removal (functions/urltools.py)
         # FIRST — cheapest discriminator, shrinks every later stage.
@@ -184,6 +204,10 @@ def clean_corpus(
         gated = gated.where(
             repetition_gate_column(text_col, repetition_thresholds)
         )
+    if reuse:
+        from pyspark import StorageLevel
+
+        gated = gated.persist(StorageLevel.MEMORY_AND_DISK)
 
     # exact dedup: keep the min doc_id of each identical-content group
     keepers = exact_duplicate_groups(gated, text_col).select(
