@@ -22,11 +22,13 @@ path) with an exact DuckDB twin for the driver's oracle checks:
   that repeat an earlier one.
 
 Scale shape: every signal is a per-row projection — linear in corpus
-size, no shuffle, no UDF.  The top-``n``-gram argmax is O(d²) in the
-number of *distinct* grams per document (a filter scan per distinct
-gram), which is bounded by document length, not corpus size; at
-100 TB it rides the same single scan as the rest of the quality
-columns.
+size, no shuffle, no UDF.  Per-document cost is O(g log g) in the
+grams of that document (array_sort + one aggregate scan for the
+top-``n``-gram argmax; the duplicate-line char sum is a linear
+identity) — round 4 replaced the original per-distinct ``filter``
+counts, which were quadratic in document length and pathological on
+repetitive megabyte pages; at 100 TB everything rides the same single
+scan as the rest of the quality columns.
 
 There is no reference counterpart (the reference is a geometry
 library); these rules come from the published corpus-cleaning
@@ -69,22 +71,49 @@ def _grams(words: Column, n: int) -> Column:
 def _top_gram_char_fraction(grams: Column, n_chars: Column) -> Column:
     """count(most frequent gram) * length(gram) / total chars.
 
-    Deterministic argmax on both engines: minimize the struct
-    (-count, gram), i.e. max count then lexicographically smallest
-    gram.
+    Deterministic argmax on both engines: max count, ties to the
+    lexicographically smallest gram.
+
+    Formulation: one ``aggregate`` scan over the *sorted* gram array,
+    tracking the current run length and the best (count, gram) so far;
+    the strict ``>`` update keeps the smallest gram among equal-count
+    runs because sorted order visits it first.  O(G log G) in the
+    grams per document — replaces the per-distinct-gram ``filter``
+    count, which was O(distinct x total) and quadratic in document
+    length (pathological on repetitive megabyte documents; corpus
+    scale is unaffected either way, this is a per-row bound).  Values
+    are identical — the hypothesis fuzz pins both against the
+    pure-Python twin.  The DuckDB twin keeps the per-distinct-count
+    spelling (it is an oracle, not a scale path).
     """
-    structs = F.transform(
-        F.array_distinct(grams),
-        lambda g: F.struct(
-            (-F.size(F.filter(grams, lambda x: x == g))).alias("nc"),
-            g.alias("g"),
-        ),
+    sorted_g = F.array_sort(grams)
+    init = F.struct(
+        F.lit("").alias("cur_g"),
+        F.lit(0).alias("cur_c"),
+        F.lit(0).alias("best_c"),
+        F.lit("").alias("best_g"),
     )
-    best = F.array_min(structs)
+
+    def _merge(acc, x):
+        # first element always takes cur_c = 0 + 1 = 1, so the ""
+        # sentinel cannot collide (and word n-grams, n >= 2, always
+        # contain the joining space anyway)
+        cur_c = F.when(x == acc["cur_g"], acc["cur_c"] + F.lit(1)).otherwise(
+            F.lit(1)
+        )
+        better = cur_c > acc["best_c"]
+        return F.struct(
+            x.alias("cur_g"),
+            cur_c.alias("cur_c"),
+            F.when(better, cur_c).otherwise(acc["best_c"]).alias("best_c"),
+            F.when(better, x).otherwise(acc["best_g"]).alias("best_g"),
+        )
+
+    best = F.aggregate(sorted_g, init, _merge)
     return F.when(
-        (F.size(grams) > 0) & (-best["nc"] >= 2),
+        (F.size(grams) > 0) & (best["best_c"] >= 2),
         F.round(
-            (-best["nc"] * F.length(best["g"])).cast("double")
+            (best["best_c"] * F.length(best["best_g"])).cast("double")
             / F.greatest(n_chars, F.lit(1)),
             6,
         ),
@@ -116,15 +145,15 @@ def repetition_columns(text_col: str = "text") -> dict[str, Column]:
         / F.greatest(n_lines, F.lit(1)),
         6,
     )
-    # chars contributed by occurrences beyond each line's first one
-    rep_chars = _sum_long(
-        F.transform(
-            F.array_distinct(lines),
-            lambda l: (F.size(F.filter(lines, lambda x: x == l)) - 1)
-            * F.length(l),
-        )
-    )
+    # chars contributed by occurrences beyond each line's first one:
+    # sum over distinct lines of (count-1)*len == total line chars
+    # minus the chars of one representative per distinct line — an
+    # O(L) identity that replaces the per-distinct-line filter count
+    # (O(distinct x lines), quadratic in document length)
     line_chars = _sum_long(F.transform(lines, F.length))
+    rep_chars = line_chars - _sum_long(
+        F.transform(F.array_distinct(lines), F.length)
+    )
     dup_line_char_fraction = F.round(
         rep_chars.cast("double") / F.greatest(line_chars, F.lit(1)), 6
     )
