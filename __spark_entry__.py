@@ -63,6 +63,9 @@ KNN_PROBES = [
 KNN_K = 5
 ANN_K = 10
 ANN_QUERY_IDS = list(range(8))
+#: per-host keeper budget for extract_text's host-cap check — small
+#: enough that synthetic hosts overflow it at every test scale
+EXTRACT_HOST_CAP = 12
 IVF_LISTS = 16
 IVF_PROBES = 6
 TILE_LEVEL = 8
@@ -508,13 +511,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def q_extract_text(spark, sf):
         """HTML text extraction (byte-identical round trip) + URL
         canonicalization / canonical-URL keeper selection
-        (functions/urltools.py — CCNet/C4-style crawl dedup).  The
-        crawl URL is synthesized deterministically from doc_id by a
-        SQL expression shared verbatim with the DuckDB oracle, so the
-        canonical form and keeper assignment are hash-checked
-        end-to-end."""
+        (functions/urltools.py — CCNet/C4-style crawl dedup) + PII
+        redaction (functions/pii.py) + per-host capping
+        (functions/hostcap.py).  The crawl URL and the PII-bearing
+        text suffix are synthesized deterministically from doc_id by
+        SQL expressions shared verbatim with the DuckDB oracle, so
+        canonical form, keeper assignment, redacted bytes, span
+        counts, and the host-cap keeper set are all hash-checked
+        end-to-end.  ``in_host_cap`` runs the TWO-PHASE salted top-K
+        here while the oracle runs the naive single window — the
+        comparison proves the scale-shaped plan computes the
+        reference semantics, not just itself."""
         from pyspark.sql import Window
 
+        from s2_geometry_library_php_spark.functions.hostcap import (
+            cap_per_host,
+            host_column,
+        )
+        from s2_geometry_library_php_spark.functions.pii import (
+            pii_count_columns,
+            redact_pii_column,
+            synth_pii_text_sql,
+        )
         from s2_geometry_library_php_spark.functions.urltools import (
             canonical_url_column,
             synth_messy_url_sql,
@@ -532,8 +550,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.expr(synth_messy_url_sql("doc_id")).alias("crawl_url"),
         ).withColumn("canonical_url", canonical_url_column("crawl_url"))
         w = Window.partitionBy("canonical_url")
-        return d.withColumn(
-            "url_keeper_doc_id", F.min("doc_id").over(w)
+        d = d.withColumn("url_keeper_doc_id", F.min("doc_id").over(w))
+        # PII: deterministic leaky suffix, then redact + count
+        d = d.withColumn(
+            "leaky_text",
+            F.concat(
+                F.col("extracted"),
+                F.lit(" "),
+                F.expr(synth_pii_text_sql("doc_id")),
+            ),
+        )
+        for name, col in pii_count_columns("leaky_text").items():
+            d = d.withColumn(name, col)
+        d = d.withColumn(
+            "redacted_text", redact_pii_column("leaky_text")
+        ).drop("leaky_text")
+        # host cap: two-phase salted top-K (the 100-TB plan)
+        kept = cap_per_host(
+            d.select("doc_id", "crawl_url"),
+            EXTRACT_HOST_CAP,
+            url_col="crawl_url",
+        ).select("doc_id", F.lit(True).alias("in_host_cap"))
+        return (
+            d.join(kept, "doc_id", "left")
+            .withColumn(
+                "in_host_cap",
+                F.coalesce(F.col("in_host_cap"), F.lit(False)),
+            )
+            .withColumn("host", host_column("crawl_url"))
         )
 
     def q_ann_cosine(spark, sf):
@@ -1990,22 +2034,40 @@ WHERE round(len(list_intersect(a.sh, b.sh)) /
         "FROM pri"
     )
 
+    from s2_geometry_library_php_spark.functions.hostcap import (
+        cap_per_host_duckdb,
+        host_duckdb,
+    )
+    from s2_geometry_library_php_spark.functions.pii import (
+        pii_count_duckdb,
+        redact_pii_duckdb,
+        synth_pii_text_sql,
+    )
     from s2_geometry_library_php_spark.functions.urltools import (
         canonical_url_duckdb,
         synth_messy_url_sql,
     )
 
+    _pii_counts = pii_count_duckdb("leaky_text")
     out["extract_text"] = f"""
 WITH u AS (
   SELECT doc_id, text, {synth_messy_url_sql('doc_id')} AS crawl_url
   FROM documents
 ), c AS (
   SELECT doc_id, text, crawl_url,
-         {canonical_url_duckdb('crawl_url')} AS canonical_url
+         {canonical_url_duckdb('crawl_url')} AS canonical_url,
+         text || ' ' || ({synth_pii_text_sql('doc_id')}) AS leaky_text
   FROM u
 )
 SELECT doc_id, text AS extracted, crawl_url, canonical_url,
-       min(doc_id) OVER (PARTITION BY canonical_url) AS url_keeper_doc_id
+       min(doc_id) OVER (PARTITION BY canonical_url) AS url_keeper_doc_id,
+       {_pii_counts['n_email']} AS n_email,
+       {_pii_counts['n_ipv4']} AS n_ipv4,
+       {_pii_counts['n_phone']} AS n_phone,
+       {redact_pii_duckdb('leaky_text')} AS redacted_text,
+       ({cap_per_host_duckdb(EXTRACT_HOST_CAP, url_expr='crawl_url')})
+         <= {EXTRACT_HOST_CAP} AS in_host_cap,
+       {host_duckdb('crawl_url')} AS host
 FROM c
 """
 

@@ -43,6 +43,7 @@ from ..functions.boilerplate import strip_boilerplate
 from ..functions.quality_gates import repetition_gate_column
 from ..functions.paragraph_dedup import strip_duplicate_paragraphs
 from ..functions.urltools import url_dedup
+from ..functions.pii import redact_pii as redact_pii_stage
 from ..functions.text import (
     lang_id_column,
     quality_columns,
@@ -148,6 +149,8 @@ def clean_corpus(
     strip_site_boilerplate: bool = False,
     dedup_by_url: bool = False,
     strip_paragraph_dups: bool = False,
+    max_docs_per_host: int | None = None,
+    redact_pii: bool = False,
     reuse: bool = True,
 ) -> DataFrame:
     """The cleaned corpus as one lazy plan.  ``docs`` must carry
@@ -233,6 +236,23 @@ def clean_corpus(
         survivors = exact_unique.join(losers, "doc_id", "left_anti")
     else:
         survivors = exact_unique
+
+    if max_docs_per_host is not None:
+        # RefinedWeb-style domain-diversity cap (functions/hostcap.py)
+        # AFTER dedup so the per-host budget is spent on documents
+        # that actually survive, not on copies.  Requires `url`.
+        # (Import here: hostcap reuses operators/sampling's priority
+        # hash, so a top-level import would be circular through the
+        # operators package init.)
+        from ..functions.hostcap import cap_per_host
+
+        survivors = cap_per_host(survivors, max_docs_per_host)
+    if redact_pii:
+        # PII scrub (functions/pii.py) LAST: redaction rewrites text,
+        # and doing it after dedup keeps content fingerprints honest
+        # (two distinct pages must not collide via their redacted
+        # forms).
+        survivors = redact_pii_stage(survivors, text_col)
 
     if "cell_id" in survivors.columns:
         survivors = survivors.withColumn(
