@@ -1106,11 +1106,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     def q_text_analysis(spark, sf):
         """lang-ID + token count + fingerprint + quality scores +
-        Gopher-style repetition signals in one row per doc (merges
-        r2's lang_id / quality / token_count; r4 adds
-        functions/quality_gates.repetition_columns)."""
+        Gopher-style repetition signals + benchmark-decontamination
+        flag in one row per doc (merges r2's lang_id / quality /
+        token_count; r4 adds functions/quality_gates
+        .repetition_columns and functions/decontaminate — the
+        benchmark is the deterministic doc_id % 83 slice, n=3 because
+        the synthetic vocabulary is tiny)."""
         from pyspark.sql import Window
 
+        from s2_geometry_library_php_spark.functions.decontaminate import (
+            decontaminate,
+        )
         from s2_geometry_library_php_spark.functions.quality_gates import (
             repetition_columns,
         )
@@ -1119,10 +1125,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
         docs = spark.read.parquet(f"{sf}/documents.parquet")
+        bench = docs.where("doc_id % 83 = 0").select("text")
+        docs = decontaminate(docs, bench, n=3, mode="flag")
         cols = quality_columns("text")
         rep = repetition_columns("text")
         base = docs.select(
             "doc_id",
+            "is_contaminated",
             lang_id_column("text").alias("lang_pred"),
             token_count_column("text").alias("n_tokens"),
             fingerprint_column("text").alias("fingerprint"),
@@ -2019,8 +2028,19 @@ WHERE round(len(list_intersect(a.sh, b.sh)) /
         sample_priority_duckdb,
     )
 
+    from s2_geometry_library_php_spark.functions.decontaminate import (
+        contaminated_duckdb_cte,
+    )
+
+    _decon = contaminated_duckdb_cte(
+        3,
+        bench_rel="(SELECT text FROM documents WHERE doc_id % 83 = 0)",
+    )
     out["text_analysis"] = (
-        "WITH base AS (SELECT doc_id, "
+        f"WITH decon AS ({_decon}), "
+        "base AS (SELECT doc_id, "
+        "(SELECT is_contaminated FROM decon WHERE decon.doc_id = "
+        "documents.doc_id) AS is_contaminated, "
         f"{lang_id_duckdb('text')} AS lang_pred, "
         f"{token_count_duckdb('text')} AS n_tokens, "
         f"{fingerprint_duckdb('text')} AS fingerprint, "

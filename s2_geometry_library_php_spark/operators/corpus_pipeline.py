@@ -151,6 +151,8 @@ def clean_corpus(
     strip_paragraph_dups: bool = False,
     max_docs_per_host: int | None = None,
     redact_pii: bool = False,
+    decontaminate_against: DataFrame | None = None,
+    decontaminate_n: int = 13,
     reuse: bool = True,
 ) -> DataFrame:
     """The cleaned corpus as one lazy plan.  ``docs`` must carry
@@ -206,6 +208,17 @@ def clean_corpus(
         # same scan as the other gates.
         gated = gated.where(
             repetition_gate_column(text_col, repetition_thresholds)
+        )
+    if decontaminate_against is not None:
+        # GPT-3-style benchmark-overlap scrub (functions/
+        # decontaminate.py) BEFORE dedup: identical contaminated
+        # copies share their grams, so the whole group drops here
+        # rather than electing a keeper first.
+        from ..functions.decontaminate import decontaminate
+
+        gated = decontaminate(
+            gated, decontaminate_against, n=decontaminate_n,
+            text_col=text_col,
         )
     if reuse:
         from pyspark import StorageLevel
