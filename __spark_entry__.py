@@ -66,6 +66,9 @@ ANN_QUERY_IDS = list(range(8))
 #: per-host keeper budget for extract_text's host-cap check — small
 #: enough that synthetic hosts overflow it at every test scale
 EXTRACT_HOST_CAP = 12
+#: DSIR bucket count for text_analysis's importance column (small:
+#: the synthetic vocabulary is ~30 words)
+TA_DSIR_BUCKETS = 512
 IVF_LISTS = 16
 IVF_PROBES = 6
 TILE_LEVEL = 8
@@ -1107,15 +1110,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def q_text_analysis(spark, sf):
         """lang-ID + token count + fingerprint + quality scores +
         Gopher-style repetition signals + benchmark-decontamination
-        flag in one row per doc (merges r2's lang_id / quality /
-        token_count; r4 adds functions/quality_gates
-        .repetition_columns and functions/decontaminate — the
-        benchmark is the deterministic doc_id % 83 slice, n=3 because
-        the synthetic vocabulary is tiny)."""
+        flag + DSIR importance score in one row per doc (merges r2's
+        lang_id / quality / token_count; r4 adds functions/
+        quality_gates.repetition_columns, functions/decontaminate and
+        functions/importance — benchmark AND DSIR target are the
+        deterministic doc_id % 83 slice, n=3 / 512 buckets because
+        the synthetic vocabulary is tiny).  The importance score is
+        an exact integer micro-LLR sum, so it hash-checks without
+        float-drift caveats."""
         from pyspark.sql import Window
 
         from s2_geometry_library_php_spark.functions.decontaminate import (
             decontaminate,
+        )
+        from s2_geometry_library_php_spark.functions.importance import (
+            bucket_weights,
+            importance_scores,
         )
         from s2_geometry_library_php_spark.functions.quality_gates import (
             repetition_columns,
@@ -1127,11 +1137,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         docs = spark.read.parquet(f"{sf}/documents.parquet")
         bench = docs.where("doc_id % 83 = 0").select("text")
         docs = decontaminate(docs, bench, n=3, mode="flag")
+        wts = bucket_weights(bench, docs, n_buckets=TA_DSIR_BUCKETS)
+        docs = importance_scores(docs, wts, n_buckets=TA_DSIR_BUCKETS)
         cols = quality_columns("text")
         rep = repetition_columns("text")
         base = docs.select(
             "doc_id",
             "is_contaminated",
+            "importance_score",
             lang_id_column("text").alias("lang_pred"),
             token_count_column("text").alias("n_tokens"),
             fingerprint_column("text").alias("fingerprint"),
@@ -2031,16 +2044,25 @@ WHERE round(len(list_intersect(a.sh, b.sh)) /
     from s2_geometry_library_php_spark.functions.decontaminate import (
         contaminated_duckdb_cte,
     )
+    from s2_geometry_library_php_spark.functions.importance import (
+        importance_scores_duckdb_cte,
+    )
 
     _decon = contaminated_duckdb_cte(
         3,
         bench_rel="(SELECT text FROM documents WHERE doc_id % 83 = 0)",
     )
+    _dsir = importance_scores_duckdb_cte(
+        TA_DSIR_BUCKETS,
+        target_rel="(SELECT text FROM documents WHERE doc_id % 83 = 0)",
+    )
     out["text_analysis"] = (
-        f"WITH decon AS ({_decon}), "
+        f"WITH decon AS ({_decon}), dsir AS ({_dsir}), "
         "base AS (SELECT doc_id, "
         "(SELECT is_contaminated FROM decon WHERE decon.doc_id = "
         "documents.doc_id) AS is_contaminated, "
+        "(SELECT importance_score FROM dsir WHERE dsir.doc_id = "
+        "documents.doc_id) AS importance_score, "
         f"{lang_id_duckdb('text')} AS lang_pred, "
         f"{token_count_duckdb('text')} AS n_tokens, "
         f"{fingerprint_duckdb('text')} AS fingerprint, "
