@@ -319,6 +319,38 @@ def _run_suite(spark, sf_dir: str) -> tuple[dict, dict]:
     )
     extras["pipeline_survivors"] = n_clean
 
+    # The RELEASE pipeline: everything a shipped corpus gets —
+    # canonical-URL dedup, language/quality/repetition gates, exact +
+    # near dedup, benchmark decontamination (broadcast n-gram scrub),
+    # per-host capping (two-phase salted top-K), PII redaction — still
+    # ONE lazy plan.  This is the r4 curation stack timed end-to-end.
+    from s2_geometry_library_php_spark.functions.urltools import (
+        synth_messy_url_sql,
+    )
+
+    docs_u = docs.select("doc_id", "text", "lat", "lon").withColumn(
+        "url", F.expr(synth_messy_url_sql("doc_id"))
+    )
+    bench_slice = docs_u.where("doc_id % 9973 = 0").select("text")
+
+    def release_pipeline():
+        return clean_corpus(
+            spark,
+            docs_u,
+            dedup_by_url=True,
+            repetition_thresholds={},
+            decontaminate_against=bench_slice,
+            decontaminate_n=5,
+            max_docs_per_host=5000,
+            redact_pii=True,
+        ).count()
+
+    n_release = timed("corpus_release_pipeline", release_pipeline)
+    extras["release_docs_per_sec"] = round(
+        n_docs / timings["corpus_release_pipeline"], 1
+    )
+    extras["release_survivors"] = n_release
+
     def text_pipeline():
         cols = quality_columns("text")
         return (

@@ -24,14 +24,16 @@ Pipeline shape:
    engines, or reruns (knife-edge ties of ``round`` at the 1e-6 digit
    are measure-zero on log ratios).
 4. **document score** — ``sum(w(bucket(word)))`` over the document's
-   words: explode → broadcast hash join against the ``n_buckets``-row
-   weight table → one partial-aggregated ``groupBy(doc_id)``.
+   words, computed as a PURE PROJECTION: the bounded weight table
+   collects into an array literal (a planning-sized driver collect,
+   like the salt histogram) and the score is a native
+   transform/aggregate expression per row.
 
-Scale shape at 10^12 docs: the corpus side is scan → generate →
-BroadcastHashJoin → partial-agg shuffle keyed on doc_id (the same key
-the corpus is already laid out on); the distribution passes shuffle
-at most ``n_buckets`` rows after map-side combine.  The target set is
-domain-sized and reduces to ``n_buckets`` rows immediately.
+Scale shape at 10^12 docs: the corpus is NEVER exchanged — scoring is
+scan → project with zero shuffles and zero joins; the distribution
+passes shuffle at most ``n_buckets`` rows after map-side combine, and
+the target set is domain-sized and reduces to ``n_buckets`` rows
+immediately.
 
 No reference counterpart (the reference is a geometry library); this
 is the LLM-data-pipeline layer (SURVEY "beyond the reference").
@@ -152,19 +154,45 @@ def importance_scores(
 ) -> DataFrame:
     """``docs`` plus ``importance_score`` (BIGINT micro-LLR sum over
     the document's words; empty docs score the empty-word bucket's
-    weight times one — deterministic like everything else).  Corpus
-    plan: generate → BroadcastHashJoin(weights) → partial-agg groupBy
-    on ``id_col`` → broadcast-right join back onto ``docs``."""
-    per_word = doc_word_buckets(docs, n_buckets, text_col, id_col)
-    scored = (
-        per_word.join(F.broadcast(weights), "bucket")
-        .groupBy(id_col)
-        .agg(F.sum("weight").alias("importance_score"))
+    weight times one — deterministic like everything else).
+
+    Corpus plan: ZERO shuffles and zero joins.  The weight table is
+    ``n_buckets`` rows BY DESIGN (that bound is what DSIR's hashing
+    buys), so it collects driver-side — the same planning-sized
+    collect class as the salt histogram — into an array literal, and
+    each document's score is a pure per-row expression: transform
+    words → bucket → ``element_at`` into the literal → sum.  The
+    join-back formulation this replaces planned a corpus-wide
+    SortMergeJoin on ``id_col`` (the whole corpus exchanged twice);
+    this one never exchanges the corpus at all."""
+    arr = [0] * n_buckets
+    for r in weights.collect():  # <= n_buckets rows, planning-sized
+        arr[int(r["bucket"])] = int(r["weight"])
+    arr_lit = F.lit(arr)
+    words = F.split(F.col(text_col), " ")
+
+    def bucket_of(w: Column) -> Column:
+        return (
+            F.aggregate(
+                F.split(w, ""),
+                F.lit(0).cast("long"),
+                lambda acc, c: (acc * F.lit(31) + F.ascii(c))
+                % F.lit(HASH_MOD),
+            )
+            % F.lit(n_buckets)
+        )
+
+    score = F.aggregate(
+        F.transform(
+            words,
+            lambda w: F.element_at(
+                arr_lit, (bucket_of(w) + F.lit(1)).cast("int")
+            ),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
     )
-    return docs.join(scored, id_col, "left").withColumn(
-        "importance_score",
-        F.coalesce(F.col("importance_score"), F.lit(0).cast("long")),
-    )
+    return docs.withColumn("importance_score", score)
 
 
 def dsir_select(

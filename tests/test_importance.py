@@ -175,9 +175,10 @@ def test_plan_shape(spark):
         importance_scores(docs, w, n_buckets=B)
         ._jdf.queryExecution().executedPlan().toString()
     )
-    # weights ride a broadcast; the corpus side never sort-merges
-    assert "BroadcastHashJoin" in plan
-    assert "SortMergeJoin" not in plan
+    # scoring is a pure projection over the weight-array literal: the
+    # corpus is NEVER exchanged or joined
+    assert "Exchange" not in plan
+    assert "Join" not in plan
 
 
 def test_word_bucket_totality(spark):

@@ -261,6 +261,59 @@ def main() -> None:
         )
     )
 
+    # --- round-4 curation operators ------------------------------------------
+    from s2_geometry_library_php_spark.functions.decontaminate import (
+        decontaminate,
+    )
+    from s2_geometry_library_php_spark.functions.hostcap import cap_per_host
+    from s2_geometry_library_php_spark.functions.importance import (
+        bucket_weights,
+        importance_scores,
+    )
+    from s2_geometry_library_php_spark.functions.pii import redact_pii
+    from s2_geometry_library_php_spark.functions.urltools import (
+        synth_messy_url_sql,
+    )
+
+    bench_slice = raw_docs.where("doc_id % 83 = 0").select("text")
+    plans.append(
+        (
+            "benchmark decontamination (corpus side: scan -> generate "
+            "-> broadcast semi-join -> doc-level distinct -> anti-join; "
+            "benchmark side reduces to its distinct gram set and "
+            "broadcasts; no SortMergeJoin / BroadcastNestedLoopJoin)",
+            decontaminate(raw_docs, bench_slice, n=3),
+        )
+    )
+    docs_u = raw_docs.withColumn(
+        "url", F.expr(synth_messy_url_sql("doc_id"))
+    )
+    plans.append(
+        (
+            "per-host cap (TWO-PHASE salted exact top-K: window over "
+            "(host, doc_id % n_salts) spreads the hot host across "
+            "tasks, then a window over host on the <= cap*n_salts "
+            "bounded survivors — never one task per hot host)",
+            cap_per_host(docs_u, 12),
+        )
+    )
+    _wts = bucket_weights(bench_slice, raw_docs, n_buckets=512)
+    plans.append(
+        (
+            "DSIR importance scores (bounded weight table collected "
+            "into an array literal; scoring is scan -> project — the "
+            "corpus is never exchanged or joined)",
+            importance_scores(raw_docs, _wts, n_buckets=512),
+        )
+    )
+    plans.append(
+        (
+            "PII redaction (pure projection: regexp chain + counts "
+            "inside WholeStageCodegen, zero shuffles)",
+            redact_pii(raw_docs, with_counts=True),
+        )
+    )
+
     out = ["# EXPLAIN — physical plans of the headline operators\n"]
     out.append(
         "Generated by tools/dump_plans.py at sf0.01 on local[8]; the\n"
