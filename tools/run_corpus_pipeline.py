@@ -10,11 +10,16 @@ layout), resumable via the same lineage log as the flagship.
 Stage 1 (resumable, lineage-checkpointed per cell prefix): annotate +
 gates + exact dedup — the embarrassingly-prefix-parallel part, so a
 killed run skips completed prefixes on restart.  Stage 2 (global, one
-plan): MinHash-LSH near-dup removal over the committed stage-1 output
-— near-dup pairs cross prefixes, so this stage is deliberately NOT
-prefix-sharded.  Stage 3: survivors written as a parquet table
-bucketed on tile_id, ready for shuffle-free recurring joins
-(sources/bucketed.py).  Prints one JSON metrics line.
+plan): optional benchmark decontamination (--benchmark-path: broadcast
+n-gram scrub BEFORE pair generation, so contaminated docs never join),
+then MinHash-LSH near-dup removal over the committed stage-1 output —
+near-dup pairs and benchmark grams cross prefixes, so this stage is
+deliberately NOT prefix-sharded.  Release gates (global, still lazy):
+--max-docs-per-host applies the two-phase salted per-host cap to the
+survivors; --redact-pii scrubs survivor text LAST (after all dedup, so
+content fingerprints stay honest).  Stage 3: survivors written as a
+parquet table bucketed on tile_id, ready for shuffle-free recurring
+joins (sources/bucketed.py).  Prints one JSON metrics line.
 
 Master is inherited from spark-submit — the script never sets one."""
 
@@ -38,6 +43,15 @@ def main() -> None:
     ap.add_argument("--n-buckets", type=int, default=16)
     ap.add_argument("--lineage-level", type=int, default=4)
     ap.add_argument("--job-id", default="corpus_clean")
+    ap.add_argument(
+        "--benchmark-path",
+        default="",
+        help="parquet of eval texts (column 'text'); if set, docs "
+        "sharing an n-gram with it are dropped before near-dup",
+    )
+    ap.add_argument("--decontaminate-n", type=int, default=13)
+    ap.add_argument("--max-docs-per-host", type=int, default=0)
+    ap.add_argument("--redact-pii", action="store_true")
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -93,8 +107,16 @@ def main() -> None:
         lineage_level=args.lineage_level,
     )
 
-    # stage 2: global near-dup removal over the committed output
+    # stage 2: global decontamination (optional) + near-dup removal
+    # over the committed output
     unique = spark.read.parquet(stage_dir)
+    if args.benchmark_path:
+        from s2_geometry_library_php_spark.functions.decontaminate import (
+            decontaminate,
+        )
+
+        bench = spark.read.parquet(args.benchmark_path).select("text")
+        unique = decontaminate(unique, bench, n=args.decontaminate_n)
     pairs = minhash_band_pairs(
         unique, threshold=args.near_dup_threshold
     )
@@ -112,6 +134,18 @@ def main() -> None:
             f"{64 - 3 - 2 * args.tile_level}) as long)"
         ),
     )
+
+    # release gates: host-diversity cap, then PII scrub LAST
+    if args.max_docs_per_host > 0:
+        from s2_geometry_library_php_spark.functions.hostcap import (
+            cap_per_host,
+        )
+
+        survivors = cap_per_host(survivors, args.max_docs_per_host)
+    if args.redact_pii:
+        from s2_geometry_library_php_spark.functions.pii import redact_pii
+
+        survivors = redact_pii(survivors)
 
     # stage 3: bucketed layout for recurring tile joins
     table = f"{args.job_id}_clean"
