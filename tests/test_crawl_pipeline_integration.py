@@ -139,3 +139,51 @@ def test_crawl_annotate_runs_native(spark, crawl_docs):
     plan = ann._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
     assert ann.filter(F.col("cell_id").isNull()).count() == 0
+
+
+def test_crawl_release_pipeline_all_stages(spark, crawl_docs, cleaned):
+    """The FULL release chain over the connector: gates + URL dedup +
+    exact dedup + decontamination + host cap + PII redaction in one
+    lazy plan.  Survivors are a subset of the base clean set, per-host
+    counts respect the cap, and no raw PII pattern survives in text."""
+    from s2_geometry_library_php_spark.functions.hostcap import host_column
+    from s2_geometry_library_php_spark.functions.pii import (
+        pii_count_columns,
+    )
+
+    # the synthetic crawl texts are rotations of ONE short cyclic
+    # word stream, so every narrow n-gram is corpus-universal (a
+    # single doc's 13-grams hit all 797 survivors — measured);
+    # n=25 is the narrowest width that distinguishes documents here
+    bench = crawl_docs.where("doc_id = 0").select("text")
+    release = clean_corpus(
+        spark,
+        crawl_docs,
+        langs=("en",),
+        dedup_by_url=True,
+        near_dup_threshold=None,
+        decontaminate_against=bench,
+        decontaminate_n=25,
+        max_docs_per_host=25,
+        redact_pii=True,
+    )
+    rows = release.cache().collect()
+    assert rows  # the chain must not silently empty the corpus
+    ids = {r["doc_id"] for r in rows}
+    base_ids = {r["doc_id"] for r in cleaned.select("doc_id").collect()}
+    assert ids < base_ids
+    # the benchmark doc itself never survives
+    assert 0 not in ids
+    # host cap holds
+    per_host = (
+        release.withColumn("h", host_column("url"))
+        .groupBy("h")
+        .count()
+        .collect()
+    )
+    assert per_host and all(r["count"] <= 25 for r in per_host)
+    # PII scrubbed: counting the patterns on the RELEASED text finds 0
+    leftover = release.select(
+        *[c.alias(n) for n, c in pii_count_columns("text").items()]
+    ).agg(F.sum("n_email"), F.sum("n_ipv4"), F.sum("n_phone")).collect()[0]
+    assert list(leftover) == [0, 0, 0]
