@@ -170,3 +170,43 @@ def test_clean_corpus_integration(spark):
     assert scrub_ids < base_ids
     # no benchmark member survives
     assert not any(i % 31 == 0 for i in scrub_ids)
+
+
+def test_fuzz_python_twin(spark):
+    """Hypothesis fuzz: random small-vocab corpora + random benchmark
+    subsets, Spark flags == pure-Python twin (batched: one DataFrame
+    per example)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    word = st.sampled_from(["a", "b", "c", "aa", "é", ""])
+    doc = st.lists(word, min_size=0, max_size=12).map(" ".join)
+
+    @settings(max_examples=20, deadline=None)
+    @given(
+        st.lists(doc, min_size=1, max_size=25),
+        st.integers(min_value=1, max_value=4),
+        st.integers(min_value=0, max_value=4),
+    )
+    def run(texts, n, bench_step):
+        bench_idx = set(range(0, len(texts), bench_step + 1))
+        docs = spark.createDataFrame(
+            list(enumerate(texts)), "doc_id long, text string"
+        )
+        bench = docs.where(
+            F.col("doc_id").isin([int(i) for i in bench_idx])
+        ).select("text")
+        got = {
+            r["doc_id"]: r["is_contaminated"]
+            for r in decontaminate(
+                docs, bench, n=n, mode="flag"
+            ).collect()
+        }
+        want = _py_flags(
+            dict(enumerate(texts)),
+            [texts[i] for i in bench_idx],
+            n,
+        )
+        assert got == want
+
+    run()
