@@ -50,24 +50,35 @@ def _make_admitter(cap: int):
     def _admit(key, pdf_iter, state: GroupState):
         host = str(key[0])
         admitted = state.get[0] if state.exists else 0
-        out_ids, out_ranks = [], []
+        budget = cap - admitted
+        # a group's micro-batch rows may arrive as SEVERAL Arrow
+        # chunks in arbitrary order; the documented contract sorts the
+        # WHOLE batch by (priority, doc_id), so keep a running
+        # best-`budget` merge across chunks — O(budget) state, never
+        # the whole hot host in memory
+        best = None
         for pdf in pdf_iter:
-            if admitted >= cap:
+            if budget <= 0:
                 continue  # budget gone; drain the iterator cheaply
-            pdf = pdf.sort_values(["_pri", "doc_id"], kind="mergesort")
-            take = min(cap - admitted, len(pdf))
-            ids = pdf["doc_id"].iloc[:take]
-            out_ids.extend(int(i) for i in ids)
-            out_ranks.extend(
-                range(admitted + 1, admitted + take + 1)
-            )
-            admitted += take
-        state.update((admitted,))
+            cand = pdf[["doc_id", "_pri"]]
+            if best is not None:
+                cand = pd.concat([best, cand], ignore_index=True)
+            best = cand.sort_values(
+                ["_pri", "doc_id"], kind="mergesort"
+            ).head(budget)
+        take = 0 if best is None else len(best)
+        out_ids = (
+            [int(i) for i in best["doc_id"]] if take else []
+        )
+        state.update((admitted + take,))
         yield pd.DataFrame(
             {
                 "doc_id": pd.Series(out_ids, dtype="int64"),
-                "host": pd.Series([host] * len(out_ids), dtype="object"),
-                "host_rank": pd.Series(out_ranks, dtype="int64"),
+                "host": pd.Series([host] * take, dtype="object"),
+                "host_rank": pd.Series(
+                    range(admitted + 1, admitted + take + 1),
+                    dtype="int64",
+                ),
             }
         )
 
