@@ -192,7 +192,11 @@ def importance_scores(
         F.lit(0).cast("long"),
         lambda acc, x: acc + x,
     )
-    return docs.withColumn("importance_score", score)
+    # NULL text scores 0, matching the DuckDB twin's LEFT JOIN +
+    # COALESCE (unnest of NULL emits no rows there; here split(NULL)
+    # would otherwise propagate NULL and dsir_select would drop the
+    # row in one engine but keep it in the other)
+    return docs.withColumn("importance_score", F.coalesce(score, F.lit(0)))
 
 
 def dsir_select(

@@ -80,12 +80,23 @@ def _valid_cell_range(lo, hi):
     low_bits = (cell.bitwiseAND(lsb - F.lit(1)) == F.lit(0)) & (
         cell.bitwiseAND(lsb) != F.lit(0)
     )
+    # the trailing-bit pattern alone admits PSEUDO-cells outside the
+    # S2 keyspace, where the equi-join arm would diverge from the
+    # literal theta-join: lsb > 2^60 ("level -1", e.g. the interval
+    # [1, 2^63-1] whose candidate cell 2^62 parents only faces 0-1),
+    # and face bits 110/111 (a face-6/7 "cell" whose range dips into
+    # face-5 leaves that s2_parent can never map back to it).  Bound
+    # both: level in [0,30] and face < 6.
+    in_keyspace = (lsb <= F.lit(1 << 60)) & (
+        F.shiftrightunsigned(cell, 61) < F.lit(6)
+    )
     valid = F.coalesce(
         (span >= F.lit(0))
         & (span.bitwiseAND(F.lit(1)) == F.lit(0))
         & is_pow
         & even_bit
-        & low_bits,
+        & low_bits
+        & in_keyspace,
         F.lit(False),
     )
     level = (

@@ -186,6 +186,47 @@ def test_range_join_rejects_noncell_interval_near_2_61(spark):
     assert [tuple(r) for r in got.orderBy("doc_id").collect()] == [(0, 900)]
 
 
+def test_range_join_rejects_pseudo_cells_outside_keyspace(spark):
+    """Intervals with a perfect trailing-bit pattern that are NOT real
+    S2 cells: [1, 2^63-1] (candidate cell 2^62, 'level -1') and a
+    face-6 pseudo cell whose range dips into face-5 leaves.  Both must
+    route to the residual θ-arm — the equi-join arm would silently
+    drop matches (s2_parent can never map a leaf to a pseudo cell)."""
+
+    def signed(x):
+        x &= (1 << 64) - 1
+        return x - (1 << 64) if x >= (1 << 63) else x
+
+    # face-5 leaf near the top of the keyspace (odd => leaf)
+    face5_leaf = signed(6 * (1 << 61) - 3)
+    # face-2 leaf: matched by [1, 2^63-1] but NOT by parent==2^62
+    face2_leaf = signed(2 * (1 << 61) + 1025)
+    probe = spark.createDataFrame(
+        [(0, face2_leaf), (1, face5_leaf), (2, 1025)],
+        "doc_id long, leaf long",
+    )
+    # face-6 pseudo cell at level 1: cell = 6<<61 | 2^58
+    pseudo6 = 6 * (1 << 61) + (1 << 58)
+    lsb6 = 1 << 58
+    ranges = spark.createDataFrame(
+        [
+            (900, 1, (1 << 63) - 1),  # lsb 2^62: "level -1"
+            (901, signed(pseudo6 - (lsb6 - 1)), signed(pseudo6 + (lsb6 - 1))),
+        ],
+        "region_id long, cell_min long, cell_max long",
+    )
+    got = range_join(probe, ranges, "leaf", "cell_min", "cell_max").select(
+        "doc_id", "region_id"
+    )
+    want = _theta(probe, ranges)
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, want.collect())
+    )
+    # sanity: the θ-semantics really do match rows here (both probes
+    # land inside [1, 2^63-1]), so an equi-only plan would be wrong
+    assert (0, 900) in {tuple(r) for r in got.collect()}
+
+
 def test_rewrite_sql_where_form(spark, tables):
     sql = (
         "SELECT region_id, COUNT(*) AS n FROM rj_probe p, rj_ranges r "
