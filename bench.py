@@ -295,6 +295,21 @@ def _run_suite(spark, sf_dir: str) -> tuple[dict, dict]:
 
     timed("knn_100probes_k10", knn)
 
+    # Within-radius self-join: every doc pair closer than ~6.4 km
+    # (0.001 rad).  Ring-prejoin hash equi-join — the non-broadcast
+    # two-large-sides plan (both sides shuffle on the ring cell key).
+    from s2_geometry_library_php_spark.operators.radius_join import (
+        self_radius_pairs,
+    )
+
+    def radius_pairs():
+        return self_radius_pairs(
+            encoded.select("doc_id", "lat", "lon"), 0.001
+        ).count()
+
+    n_pairs = timed("radius_pairs_self_join", radius_pairs)
+    extras["radius_pairs_found"] = n_pairs
+
     timed(
         "minhash_dedup_pairs",
         lambda: minhash_band_pairs(base.select("doc_id", "text")).count(),

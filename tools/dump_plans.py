@@ -313,6 +313,19 @@ def main() -> None:
             redact_pii(raw_docs, with_counts=True),
         )
     )
+    from s2_geometry_library_php_spark.operators.radius_join import (
+        self_radius_pairs,
+    )
+
+    plans.append(
+        (
+            "within-radius self-join (level picked from MIN_WIDTH, "
+            "right side explodes to its <=9-cell neighbor ring, hash "
+            "equi-join on the ring cell, exact-angle refine in "
+            "WholeStageCodegen; no theta-join)",
+            self_radius_pairs(docs.select("doc_id", "lat", "lon"), 0.001),
+        )
+    )
 
     out = ["# EXPLAIN — physical plans of the headline operators\n"]
     out.append(
