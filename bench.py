@@ -282,6 +282,20 @@ def _run_suite(spark, sf_dir: str) -> tuple[dict, dict]:
         ).count(),
     )
 
+    # Raster materialization: level-12 tile counts gathered into dense
+    # Hilbert-ordered 4^4-entry grids per level-8 parent (one
+    # partial-agg groupBy, all native SQL).
+    from s2_geometry_library_php_spark.operators.tiling import (
+        rasterize_tiles,
+    )
+
+    timed(
+        "raster_tiles_l12_to_l8",
+        lambda: rasterize_tiles(
+            tile_aggregate(encoded, 12), 12, 8
+        ).count(),
+    )
+
     def knn():
         probes = spark.range(100).select(
             F.col("id").alias("probe_id"),

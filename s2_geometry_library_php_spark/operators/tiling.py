@@ -120,6 +120,104 @@ def tile_rollup(
     return out
 
 
+def rasterize_tiles(
+    tiles: DataFrame,
+    fine_level: int,
+    coarse_level: int,
+    tile_col: str = "tile_id",
+    value_col: str = "doc_count",
+) -> DataFrame:
+    """Raster side of raster<->vector materialization: fine-level tile
+    values gathered into ONE dense Hilbert-ordered grid per
+    coarse-level parent.
+
+    Output: ``(raster_id, raster_token, raster array<long>)`` with
+    ``4^(fine-coarse)`` entries; entry ``i`` is the value of the
+    parent's ``i``-th level-``fine_level`` descendant in cell-id
+    (Hilbert curve) order, 0 where no input row exists.  The position
+    is the fine tile's path bits below the parent prefix
+    (S2CellId.php:58-78 id layout: 2 bits per level between the face
+    and the trailing 1), so position extraction and the whole gather
+    stay native SQL — one partial-agg groupBy on the parent, no
+    Python.  ``vectorize_raster`` is the exact inverse.
+
+    Pick ``fine - coarse <= 6`` (<= 4096 entries) so a raster row
+    stays a few KB — the standard tile-server payload shape."""
+    dl = int(fine_level) - int(coarse_level)
+    if not (0 < dl <= 8):
+        raise ValueError(
+            f"need 0 < fine-coarse <= 8, got levels {fine_level}/{coarse_level}"
+        )
+    n = 4**dl
+    shift = 2 * (MAX_LEVEL - int(fine_level)) + 1
+    pos = F.shiftrightunsigned(F.col(tile_col), shift).bitwiseAND(
+        F.lit(n - 1)
+    )
+    keyed = tiles.select(
+        s2_parent(F.col(tile_col), int(coarse_level)).alias("raster_id"),
+        pos.cast("int").alias("_pos"),
+        F.col(value_col).cast("long").alias("_v"),
+    )
+    grid = F.transform(
+        F.sequence(F.lit(0), F.lit(n - 1)),
+        lambda i: F.coalesce(F.element_at(F.col("_m"), i), F.lit(0)),
+    )
+    return (
+        keyed.groupBy("raster_id")
+        .agg(
+            F.map_from_entries(
+                F.collect_list(F.struct("_pos", "_v"))
+            ).alias("_m")
+        )
+        .select(
+            "raster_id",
+            s2_token_sql("raster_id").alias("raster_token"),
+            grid.alias("raster"),
+        )
+    )
+
+
+def vectorize_raster(
+    rasters: DataFrame,
+    fine_level: int,
+    coarse_level: int,
+    raster_col: str = "raster_id",
+    array_col: str = "raster",
+    keep_zeros: bool = False,
+) -> DataFrame:
+    """Exact inverse of :func:`rasterize_tiles`: each raster entry
+    back to its fine-level tile row ``(tile_id, tile_token,
+    doc_count)``.  The child id is pure bit reassembly — parent prefix
+    (parent id minus its lsb) + position path bits + child lsb — so
+    the whole explode stays native SQL.  Zero entries (no data) are
+    dropped unless ``keep_zeros``."""
+    dl = int(fine_level) - int(coarse_level)
+    if not (0 < dl <= 8):
+        raise ValueError(
+            f"need 0 < fine-coarse <= 8, got levels {fine_level}/{coarse_level}"
+        )
+    shift = 2 * (MAX_LEVEL - int(fine_level)) + 1
+    parent_lsb = 1 << (2 * (MAX_LEVEL - int(coarse_level)))
+    child_lsb = 1 << (2 * (MAX_LEVEL - int(fine_level)))
+    exploded = rasters.select(
+        F.col(raster_col),
+        F.posexplode(F.col(array_col)).alias("_pos", "doc_count"),
+    )
+    if not keep_zeros:
+        exploded = exploded.where(F.col("doc_count") != 0)
+    child = (
+        F.col(raster_col)
+        - F.lit(parent_lsb)
+        + F.shiftleft(F.col("_pos").cast("long"), shift)
+        + F.lit(child_lsb)
+    )
+    return (
+        exploded.withColumn("tile_id", child)
+        .withColumn("tile_token", s2_token_sql("tile_id"))
+        .select("tile_id", "tile_token", "doc_count")
+    )
+
+
 def tile_polygons(tiles: DataFrame, tile_col: str = "tile_id") -> DataFrame:
     """Vector side of raster<->vector materialization: tile -> corner
     polygon [lat0,lng0,...lat3,lng3] + center (S2Cell.php:126-138,

@@ -326,6 +326,19 @@ def main() -> None:
             self_radius_pairs(docs.select("doc_id", "lat", "lon"), 0.001),
         )
     )
+    from s2_geometry_library_php_spark.operators.tiling import (
+        rasterize_tiles,
+    )
+
+    plans.append(
+        (
+            "raster tile materialization (fine tiles -> dense "
+            "Hilbert-ordered 4^dl grid per parent: position from path "
+            "bits, map_from_entries gather, all native SQL, one "
+            "partial-agg groupBy on the parent)",
+            rasterize_tiles(tile_aggregate(docs, 10), 10, 7),
+        )
+    )
 
     out = ["# EXPLAIN — physical plans of the headline operators\n"]
     out.append(
