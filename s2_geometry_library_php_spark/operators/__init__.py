@@ -1,5 +1,12 @@
 from .spatial_join import build_covering_table, spatial_join  # noqa: F401
-from .tiling import tile_aggregate, tile_rollup, tile_polygons  # noqa: F401
+from .tiling import (  # noqa: F401
+    rasterize_tiles,
+    tile_aggregate,
+    tile_polygons,
+    tile_rollup,
+    vectorize_raster,
+)
+from .radius_join import self_radius_pairs, within_radius_join  # noqa: F401
 from .knn import knn_join  # noqa: F401
 from .region_distance import knn_regions  # noqa: F401
 from .measures import region_measures, tile_clipped_measures  # noqa: F401

@@ -150,6 +150,34 @@ def test_level_override_changes_plan_not_answer(spark, docs):
     assert auto == coarse
 
 
+def test_radius_sweep_matches_brute_across_levels(spark):
+    """Seeded random clouds x radii spanning ring levels 1..17 plus
+    the crossJoin-fallback regime: set equality with brute at every
+    radius (catches any level-pick or ring-coverage slip)."""
+    import numpy as np
+
+    rng = np.random.default_rng(42)
+    lat = rng.uniform(-85, 85, 300)
+    lon = rng.uniform(-180, 180, 300)
+    # add tight clusters so small radii still produce pairs
+    lat[:40] = 10.0 + rng.uniform(-0.01, 0.01, 40)
+    lon[:40] = 20.0 + rng.uniform(-0.01, 0.01, 40)
+    pts = spark.createDataFrame(
+        [(i, float(a), float(b)) for i, (a, b) in enumerate(zip(lat, lon))],
+        "doc_id long, lat double, lon double",
+    )
+    left = pts.select(F.col("doc_id").alias("id_a"), "lat", "lon")
+    right = pts.select(F.col("doc_id").alias("id_b"), "lat", "lon")
+    for radius in (1e-4, 1e-3, 0.01, 0.06, 0.3, 0.8, 1.1):
+        got = _key_set(self_radius_pairs(pts, radius))
+        want = _key_set(
+            _brute_pairs(
+                left, right, radius, left_id="id_a", right_id="id_b"
+            ).where(F.col("id_a") < F.col("id_b"))
+        )
+        assert got == want, f"radius {radius}: {len(got)} vs {len(want)}"
+
+
 def test_near_boundary_matches_brute(spark):
     """Pairs sitting at ~the radius boundary: the ring prejoin and
     the brute filter share the same closed <= predicate and the same
