@@ -309,20 +309,59 @@ def _run_suite(spark, sf_dir: str) -> tuple[dict, dict]:
 
     timed("knn_100probes_k10", knn)
 
-    # Within-radius self-join: every doc pair closer than ~6.4 km
-    # (0.001 rad).  Ring-prejoin hash equi-join — the non-broadcast
+    # Within-radius self-join: every doc pair closer than ~128 m
+    # (2e-5 rad).  Ring-prejoin hash equi-join — the non-broadcast
     # two-large-sides plan (both sides shuffle on the ring cell key).
+    # The radius is sized to the bench corpus's replica-jitter lattice
+    # (1e-3 deg ~ 111 m): ~245k output pairs; at 0.001 rad the same
+    # op returns the full 105M-pair clump answer in ~41 s — correct,
+    # but an output-volume benchmark rather than a join benchmark.
     from s2_geometry_library_php_spark.operators.radius_join import (
         self_radius_pairs,
     )
 
     def radius_pairs():
         return self_radius_pairs(
-            encoded.select("doc_id", "lat", "lon"), 0.001
+            encoded.select("doc_id", "lat", "lon"), 2e-5
         ).count()
 
     n_pairs = timed("radius_pairs_self_join", radius_pairs)
     extras["radius_pairs_found"] = n_pairs
+
+    # k-nearest-regions through the two-level rect-block prune: 30k cap
+    # regions (summaries built driver-side each sample — the honest
+    # index-build cost), 100 probes, k=10.
+    def knn_regions_bench():
+        import numpy as _np
+
+        from s2_geometry_library_php_spark.operators.region_distance import (
+            knn_regions,
+        )
+
+        rng = _np.random.default_rng(31)
+        nreg = 30_000
+        lats = rng.uniform(-70, 70, nreg)
+        lngs = rng.uniform(-170, 170, nreg)
+        radii = rng.uniform(0.005, 0.05, nreg)
+        specs = [
+            {
+                "region_id": i,
+                "kind": "cap",
+                "params": [float(lats[i]), float(lngs[i]), float(radii[i])],
+            }
+            for i in range(nreg)
+        ]
+        probes = spark.createDataFrame(
+            [
+                (int(i), float(rng.uniform(-85, 85)),
+                 float(rng.uniform(-180, 180)))
+                for i in range(100)
+            ],
+            "probe_id long, lat double, lon double",
+        )
+        return knn_regions(spark, probes, specs, 10).count()
+
+    timed("knn_regions_30k_pruned", knn_regions_bench)
 
     timed(
         "minhash_dedup_pairs",
