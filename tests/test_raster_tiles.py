@@ -88,6 +88,29 @@ def test_vectorize_keep_zeros_is_dense(spark, tiles):
     assert joined.count() == 0
 
 
+def test_raster_round_trip_level_sweep(spark):
+    """Round-trip exactness across (fine, coarse) level pairs incl.
+    dl=1 and the max supported dl=8, coarse level 0 (face rasters) and
+    fine leaf-adjacent levels."""
+    from s2_geometry_library_php_spark.sources.documents import (
+        load_documents,
+    )
+
+    docs = load_documents(spark, "/root/testdata/sf0.001").withColumn(
+        "cell_id", s2_cell_id("lat", "lon")
+    )
+    for fine, coarse in ((4, 0), (8, 7), (12, 4), (20, 14), (30, 22)):
+        t = tile_aggregate(docs, fine).select("tile_id", "doc_count")
+        back = vectorize_raster(
+            rasterize_tiles(t, fine, coarse), fine, coarse
+        )
+        want = {(int(r[0]), int(r[1])) for r in t.collect()}
+        got = {
+            (int(r["tile_id"]), int(r["doc_count"])) for r in back.collect()
+        }
+        assert got == want, f"levels {fine}/{coarse}"
+
+
 def test_raster_faces_4_5_negative_ids(spark):
     """Signed-long face-4/5 ids (top bit set) must survive the bit
     reassembly: synthesize points in the southern/western face region
