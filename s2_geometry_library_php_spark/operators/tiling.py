@@ -142,7 +142,13 @@ def rasterize_tiles(
     Python.  ``vectorize_raster`` is the exact inverse.
 
     Pick ``fine - coarse <= 6`` (<= 4096 entries) so a raster row
-    stays a few KB — the standard tile-server payload shape."""
+    stays a few KB — the standard tile-server payload shape.
+
+    Input contract: ONE row per fine tile (a tile aggregate, e.g.
+    :func:`tile_aggregate` output).  Duplicate tile rows fail loudly —
+    ``map_from_entries`` raises DUPLICATED_MAP_KEY under the default
+    ``spark.sql.mapKeyDedupPolicy=EXCEPTION`` — rather than silently
+    picking one value; aggregate first if rows may repeat."""
     dl = int(fine_level) - int(coarse_level)
     if not (0 < dl <= 8):
         raise ValueError(
