@@ -37,8 +37,16 @@ DEFAULT_MAX_FRACTION = 0.5
 
 
 def host_column(url_col: str = "url"):
-    """The URL's host part (between '://' and the next '/')."""
-    return F.regexp_extract(F.col(url_col), r"^[a-z]+://([^/]+)", 1)
+    """The URL's host part (between '://' and the next '/'),
+    lowercased.  Scheme matching is case-insensitive like the
+    canonicalizer's (urltools._SCHEME): a lowercase-only pattern
+    would extract '' for 'HTTP://...' rows and silently merge every
+    uppercase-scheme URL into one pseudo-host."""
+    return F.lower(
+        F.regexp_extract(
+            F.col(url_col), r"^[A-Za-z][A-Za-z0-9+.\-]*://([^/]+)", 1
+        )
+    )
 
 
 def _doc_lines(

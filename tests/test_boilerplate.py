@@ -153,3 +153,27 @@ def test_clean_corpus_boilerplate_stage(spark):
         strip_site_boilerplate=True,
     )
     assert {r["doc_id"] for r in out2.select("doc_id").collect()} == {1, 2}
+
+
+def test_uppercase_scheme_hosts_not_merged(spark):
+    """Scheme matching must be case-insensitive: with a lowercase-only
+    pattern 'HTTP://x.example' and 'HTTPS://y.example' both extract
+    host '' and their shared line would wrongly count as one host's
+    boilerplate across different sites."""
+    rows = [
+        (0, "HTTP://x.example/p0", "menu shared line\nx zero"),
+        (1, "HTTPS://y.example/p0", "menu shared line\ny zero"),
+        (2, "http://x.example/p1", "menu shared line\nx one"),
+    ]
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["doc_id", "url", "text"])
+    )
+    boiler = boilerplate_lines(df).collect()
+    # x.example sees the line in 2/2 docs (case-insensitive scheme,
+    # lowercased host) -> boilerplate; y.example has 1 doc -> nothing
+    assert {(r["host"], r["line"]) for r in boiler} == {
+        ("x.example", "menu shared line")
+    }
+    out = {r["doc_id"]: r["text"] for r in strip_boilerplate(df).collect()}
+    assert out[0] == "x zero" and out[2] == "x one"
+    assert out[1] == "menu shared line\ny zero"
