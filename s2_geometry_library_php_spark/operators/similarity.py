@@ -62,18 +62,27 @@ def cosine_topk_brute(
 
     Ranking key is the ROUNDED similarity with id tiebreak, making the
     result deterministic and engine-portable."""
+    # Norms are per-VECTOR, so hoist them out of the pair expression:
+    # computed inside cosine_similarity_col they re-run once per
+    # (corpus row x query) pair — 2 extra array folds per pair.  The
+    # hoisted columns evaluate the IDENTICAL expression per row, so
+    # every pair's similarity is bit-for-bit the same (the DuckDB
+    # oracle parity is untouched); per-pair work drops to one dot.
     e = embeddings.select(
         F.col(id_col),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("_v"),
-    )
+    ).withColumn("_vn", _norm(F.col("_v")))
     q = queries.select(
         F.col(query_id_col),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("_q"),
-    )
+    ).withColumn("_qn", _norm(F.col("_q")))
     joined = e.crossJoin(F.broadcast(q)).where(
         F.col(id_col) != F.col(query_id_col)
     )
-    sim = cosine_similarity_col(F.col("_v"), F.col("_q")).alias("cosine")
+    sim = F.round(
+        _dot(F.col("_v"), F.col("_q")) / (F.col("_vn") * F.col("_qn")),
+        ROUND,
+    ).alias("cosine")
     w = Window.partitionBy(query_id_col).orderBy(
         F.col("cosine").desc(), F.col(id_col).asc()
     )
