@@ -161,17 +161,28 @@ def _lsh_candidates(
     buckets = lsh_bucket_udf(dim, n_planes, n_tables)
 
     def banded(df: DataFrame, idc: str) -> DataFrame:
+        # cast + norm hoisted to ONE evaluation per (vector, table)
+        # row — inside the pair expression they would re-run once per
+        # candidate; value-identical (same expression, same doubles)
+        vd = F.transform(F.col(vec_col), lambda x: x.cast("double"))
         return (
             df.withColumn("_b", buckets(F.col(vec_col)))
+            .withColumn("_vd", vd)
+            .withColumn("_vn", _norm(F.col("_vd")))
             .select(
                 idc,
-                vec_col,
+                "_vd",
+                "_vn",
                 F.posexplode("_b").alias("_table", "_bucket"),
             )
         )
 
     e = banded(embeddings, id_col)
-    q = banded(queries, query_id_col).withColumnRenamed(vec_col, "_qvec")
+    q = (
+        banded(queries, query_id_col)
+        .withColumnRenamed("_vd", "_qvec")
+        .withColumnRenamed("_vn", "_qn")
+    )
     if n_flip >= 1:
         flips = [0] + [1 << i for i in range(n_planes)]
         if n_flip >= 2:
@@ -190,9 +201,9 @@ def _lsh_candidates(
         F.broadcast(q),
         (e["_table"] == q["_table"]) & (e["_bucket"] == q["_probe"]),
     ).where(F.col(id_col) != F.col(query_id_col))
-    sim = cosine_similarity_col(
-        F.transform(F.col(vec_col), lambda x: x.cast("double")),
-        F.transform(F.col("_qvec"), lambda x: x.cast("double")),
+    sim = F.round(
+        _dot(F.col("_vd"), F.col("_qvec")) / (F.col("_vn") * F.col("_qn")),
+        ROUND,
     ).alias("cosine")
     return (
         cand.select(query_id_col, id_col, sim)
@@ -264,8 +275,19 @@ def embedding_near_dup_pairs(
     cosine, so the numpy twin reproduces the result row-for-row.
     Output: (id_a, id_b, cosine6)."""
     buckets = lsh_bucket_udf(dim, n_planes, n_tables)
-    banded = embeddings.withColumn("_b", buckets(F.col(vec_col))).select(
-        id_col, vec_col, F.posexplode("_b").alias("_table", "_bucket")
+    # cast + norm hoisted to one evaluation per (vector, table) row
+    # (value-identical; inside the pair expression they re-ran per
+    # candidate pair)
+    banded = (
+        embeddings.withColumn("_b", buckets(F.col(vec_col)))
+        .withColumn(
+            "_vd", F.transform(F.col(vec_col), lambda x: x.cast("double"))
+        )
+        .withColumn("_vn", _norm(F.col("_vd")))
+        .select(
+            id_col, "_vd", "_vn",
+            F.posexplode("_b").alias("_table", "_bucket"),
+        )
     )
     flips = [0] + ([1 << i for i in range(n_planes)] if n_flip >= 1 else [])
     if n_flip >= 2:
@@ -276,7 +298,8 @@ def embedding_near_dup_pairs(
         ]
     probe = banded.select(
         F.col(id_col).alias("_ida"),
-        F.col(vec_col).alias("_va"),
+        F.col("_vd").alias("_va"),
+        F.col("_vn").alias("_na"),
         "_table",
         F.explode(
             F.array(*[F.col("_bucket").bitwiseXOR(F.lit(m)) for m in flips])
@@ -284,7 +307,8 @@ def embedding_near_dup_pairs(
     )
     right = banded.select(
         F.col(id_col).alias("_idb"),
-        F.col(vec_col).alias("_vb"),
+        F.col("_vd").alias("_vb"),
+        F.col("_vn").alias("_nb"),
         F.col("_table").alias("_tableb"),
         "_bucket",
     )
@@ -294,9 +318,9 @@ def embedding_near_dup_pairs(
         & (F.col("_probe") == F.col("_bucket"))
         & (F.col("_ida") < F.col("_idb")),
     )
-    sim = cosine_similarity_col(
-        F.transform(F.col("_va"), lambda x: x.cast("double")),
-        F.transform(F.col("_vb"), lambda x: x.cast("double")),
+    sim = F.round(
+        _dot(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb")),
+        ROUND,
     ).alias("cosine6")
     return (
         cand.select(
@@ -551,7 +575,16 @@ def ann_ivf_topk(
     more than their probed lists."""
     assign = ivf_assign_udf(centroids)
     cent = np.asarray(centroids, dtype=np.float64)
-    e = embeddings.withColumn("_list", assign(F.col(vec_col)))
+    # cast + norm hoisted to one evaluation per corpus row
+    # (value-identical; inside the pair expression they re-ran per
+    # candidate pair)
+    e = (
+        embeddings.withColumn("_list", assign(F.col(vec_col)))
+        .withColumn(
+            "_vd", F.transform(F.col(vec_col), lambda x: x.cast("double"))
+        )
+        .withColumn("_vn", _norm(F.col("_vd")))
+    )
 
     # query-side probe lists computed driver-free via the same UDF
     # would give only the top-1; expand to n_probe lists with a
@@ -570,18 +603,23 @@ def ann_ivf_topk(
 
     q = (
         queries.withColumn("_probes", probes(F.col(vec_col)))
+        .withColumn(
+            "_qd", F.transform(F.col(vec_col), lambda x: x.cast("double"))
+        )
+        .withColumn("_qn", _norm(F.col("_qd")))
         .select(
             query_id_col,
-            F.col(vec_col).alias("_qvec"),
+            F.col("_qd").alias("_qvec"),
+            "_qn",
             F.explode("_probes").alias("_list"),
         )
     )
     cand = e.join(F.broadcast(q), "_list").where(
         F.col(id_col) != F.col(query_id_col)
     )
-    sim = cosine_similarity_col(
-        F.transform(F.col(vec_col), lambda x: x.cast("double")),
-        F.transform(F.col("_qvec"), lambda x: x.cast("double")),
+    sim = F.round(
+        _dot(F.col("_vd"), F.col("_qvec")) / (F.col("_vn") * F.col("_qn")),
+        ROUND,
     ).alias("cosine")
     dedup = (
         cand.select(query_id_col, id_col, sim)
