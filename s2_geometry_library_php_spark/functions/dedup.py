@@ -430,9 +430,14 @@ def ngram_jaccard_pairs(
         )
         .distinct()
     )
-    sets = base.select("doc_id", "sh")
+    # shingle arrays are DISTINCT sets (shingles_column ends in
+    # array_distinct), so |A∪B| = |A|+|B|-|A∩B| exactly — integer
+    # sizes, bit-identical quotient — and the per-pair array_union
+    # construction (the other half of the verify cost) disappears;
+    # per-doc sizes are hoisted out of the pair expression
+    sets = base.select("doc_id", "sh", F.size("sh").alias("nsh"))
     inter = F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh")))
-    union = F.size(F.array_union(F.col("a.sh"), F.col("b.sh")))
+    union = F.col("a.nsh") + F.col("b.nsh") - inter
     jac = F.round(inter.cast("double") / union, 6)
     return (
         cand.join(sets.alias("a"), F.col("doc_a") == F.col("a.doc_id"))
