@@ -458,6 +458,56 @@ def test_streaming_tiles_equals_batch(spark, docs):
     assert got == expected
 
 
+def test_streaming_tiles_feed_raster_equals_batch(spark, docs):
+    """Stream -> windowed tile counts -> dense raster: rasterizing the
+    streamed per-tile totals must equal rasterizing the batch
+    aggregate exactly — the live-dashboard composition (incremental
+    counts in the state store, raster materialization per refresh)."""
+    from pyspark.sql import functions as F
+
+    from s2_geometry_library_php_spark.operators import tile_aggregate
+    from s2_geometry_library_php_spark.operators.tiling import (
+        rasterize_tiles,
+    )
+    from s2_geometry_library_php_spark.sources.documents import (
+        stream_documents,
+    )
+    from s2_geometry_library_php_spark.streaming import (
+        incremental_tile_stream,
+    )
+
+    import tests.conftest as cf
+
+    tiles = incremental_tile_stream(
+        stream_documents(spark, cf.SF), tile_level=10, window="6 hours",
+        watermark="1 hour",
+    )
+    q = (
+        tiles.writeStream.format("memory")
+        .queryName("t_stream_raster")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    streamed_totals = (
+        spark.table("t_stream_raster")
+        .groupBy("tile_id")
+        .agg(F.sum("doc_count").alias("doc_count"))
+    )
+    got = {
+        (int(r["raster_id"]), tuple(r["raster"]))
+        for r in rasterize_tiles(streamed_totals, 10, 7).collect()
+    }
+    want = {
+        (int(r["raster_id"]), tuple(r["raster"]))
+        for r in rasterize_tiles(
+            tile_aggregate(docs, 10).select("tile_id", "doc_count"), 10, 7
+        ).collect()
+    }
+    assert got == want and len(want) > 10
+
+
 def test_planned_salting_targets_hot_tiles(spark, docs):
     """20% of the synthetic corpus sits in 3 hot tiles (FIXTURES.md):
     the sampled histogram must find them, and the planned repartition
