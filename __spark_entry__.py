@@ -288,7 +288,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from s2_geometry_library_php_spark.functions.text import (
         fingerprint_column,
         lang_id_column,
-        quality_columns,
         token_count_column,
     )
     from s2_geometry_library_php_spark.operators import (
@@ -1128,7 +1127,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             importance_scores,
         )
         from s2_geometry_library_php_spark.functions.quality_gates import (
-            repetition_columns,
+            repetition_columns_ppm,
+        )
+        from s2_geometry_library_php_spark.functions.text import (
+            quality_columns_ppm,
         )
         from s2_geometry_library_php_spark.operators.sampling import (
             sample_priority_column,
@@ -1139,8 +1141,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         docs = decontaminate(docs, bench, n=3, mode="flag")
         wts = bucket_weights(bench, docs, n_buckets=TA_DSIR_BUCKETS)
         docs = importance_scores(docs, wts, n_buckets=TA_DSIR_BUCKETS)
-        cols = quality_columns("text")
-        rep = repetition_columns("text")
+        # r5: the quality/repetition ratios ship as PPM BIGINTs
+        # (pure integer arithmetic in BOTH engines) — the float
+        # `round(x, 6)` forms are value-identical locally but
+        # hash-fragile across engine versions, and this row went
+        # red in CORRECTNESS_r04 despite a full-precision local
+        # match.  Integer-exact columns remove the entire class.
+        cols = quality_columns_ppm("text")
+        rep = repetition_columns_ppm("text")
         base = docs.select(
             "doc_id",
             "is_contaminated",
@@ -1993,7 +2001,7 @@ def oracle_sql() -> dict[str, str]:
     from s2_geometry_library_php_spark.functions.text import (
         fingerprint_duckdb,
         lang_id_duckdb,
-        quality_duckdb,
+        quality_duckdb_ppm,
         token_count_duckdb,
     )
     from s2_geometry_library_php_spark.sources.documents import (
@@ -2031,12 +2039,12 @@ WHERE round(len(list_intersect(a.sh, b.sh)) /
             CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE), 6) >= 0.2
 """
 
-    qcols = quality_duckdb("text")
+    qcols = quality_duckdb_ppm("text")
     from s2_geometry_library_php_spark.functions.quality_gates import (
-        repetition_duckdb,
+        repetition_duckdb_ppm,
     )
 
-    rep_exprs = repetition_duckdb("text")
+    rep_exprs = repetition_duckdb_ppm("text")
     from s2_geometry_library_php_spark.operators.sampling import (
         sample_priority_duckdb,
     )

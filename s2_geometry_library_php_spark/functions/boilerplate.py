@@ -37,16 +37,16 @@ DEFAULT_MAX_FRACTION = 0.5
 
 
 def host_column(url_col: str = "url"):
-    """The URL's host part (between '://' and the next '/'),
-    lowercased.  Scheme matching is case-insensitive like the
-    canonicalizer's (urltools._SCHEME): a lowercase-only pattern
-    would extract '' for 'HTTP://...' rows and silently merge every
-    uppercase-scheme URL into one pseudo-host."""
-    return F.lower(
-        F.regexp_extract(
-            F.col(url_col), r"^[A-Za-z][A-Za-z0-9+.\-]*://([^/]+)", 1
-        )
+    """The URL's capping/grouping host — DELEGATES to
+    :func:`hostcap.host_column` so boilerplate grouping and per-host
+    capping agree on what a host is (the old local regex captured
+    through ``?``/``#``, so ``http://x.com?a=1`` produced pseudo-host
+    ``x.com?a=1`` and diverged from the rest of the pipeline)."""
+    from s2_geometry_library_php_spark.functions.hostcap import (
+        host_column as _hostcap_host,
     )
+
+    return _hostcap_host(url_col)
 
 
 def _doc_lines(

@@ -92,6 +92,14 @@ def cap_per_host(
     ``host`` over the bounded survivor set."""
     if cap < 1:
         raise ValueError(f"cap must be >= 1, got {cap}")
+    reserved = {"_host", "_pri", "_rn"} & set(docs.columns)
+    if reserved:
+        # loud failure over silent overwrite-and-drop, matching
+        # rasterize_tiles' duplicate-key policy
+        raise ValueError(
+            f"cap_per_host uses temp columns {sorted(reserved)}; "
+            "rename them in the input frame first"
+        )
     pri = sample_priority_column(id_col, salt)
     ranked = docs.withColumn("_host", host_column(url_col)).withColumn(
         "_pri", pri

@@ -122,19 +122,17 @@ def bucket_weights(
         .join(b, "bucket", "left")
         .fillna(0, ["ct", "cb"])
     )
-    # totals ride a tiny agg over the n_buckets-row frames
-    nt = F.lit(
-        target.select(
-            F.sum(F.size(F.split(F.col(text_col), " ")))
-        ).collect()[0][0]
-        or 0
-    )
-    nb = F.lit(
-        background.select(
-            F.sum(F.size(F.split(F.col(text_col), " ")))
-        ).collect()[0][0]
-        or 0
-    )
+    # Every word maps to exactly ONE bucket, so the corpus totals are
+    # sum(ct)/sum(cb) over the already-aggregated n_buckets-row frame —
+    # a whole-frame window over <= n_buckets rows.  The eager
+    # per-corpus F.sum(size(split(...))) collects this replaces each
+    # re-scanned the full corpus (for dsir_select, the background IS
+    # the corpus) just to fetch one number.
+    from pyspark.sql import Window
+
+    w_all = Window.partitionBy(F.lit(1))
+    nt = F.sum("ct").over(w_all)
+    nb = F.sum("cb").over(w_all)
     bb = F.lit(n_buckets)
     llr = F.log((F.col("ct") + 1) / (nt + bb)) - F.log(
         (F.col("cb") + 1) / (nb + bb)

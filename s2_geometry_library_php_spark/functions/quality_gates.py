@@ -86,6 +86,20 @@ def _top_gram_char_fraction(grams: Column, n_chars: Column) -> Column:
     pure-Python twin.  The DuckDB twin keeps the per-distinct-count
     spelling (it is an oracle, not a scale path).
     """
+    best = _top_gram_best(grams)
+    return F.when(
+        (F.size(grams) > 0) & (best["best_c"] >= 2),
+        F.round(
+            (best["best_c"] * F.length(best["best_g"])).cast("double")
+            / F.greatest(n_chars, F.lit(1)),
+            6,
+        ),
+    ).otherwise(F.lit(0.0))
+
+
+def _top_gram_best(grams: Column) -> Column:
+    """The deterministic (best_c, best_g) argmax struct shared by the
+    float and ppm top-gram signals."""
     sorted_g = F.array_sort(grams)
     init = F.struct(
         F.lit("").alias("cur_g"),
@@ -109,15 +123,7 @@ def _top_gram_char_fraction(grams: Column, n_chars: Column) -> Column:
             F.when(better, x).otherwise(acc["best_g"]).alias("best_g"),
         )
 
-    best = F.aggregate(sorted_g, init, _merge)
-    return F.when(
-        (F.size(grams) > 0) & (best["best_c"] >= 2),
-        F.round(
-            (best["best_c"] * F.length(best["best_g"])).cast("double")
-            / F.greatest(n_chars, F.lit(1)),
-            6,
-        ),
-    ).otherwise(F.lit(0.0))
+    return F.aggregate(sorted_g, init, _merge)
 
 
 def _dup_occurrence_fraction(grams: Column) -> Column:
@@ -168,6 +174,103 @@ def repetition_columns(text_col: str = "text") -> dict[str, Column]:
             _grams(words, 3), n_chars
         ),
         "dup_5gram_fraction": _dup_occurrence_fraction(_grams(words, 5)),
+    }
+
+
+def repetition_columns_ppm(text_col: str = "text") -> dict[str, Column]:
+    """Integer-exact (parts-per-million BIGINT) twins of
+    :func:`repetition_columns` — every signal is ``(numerator * 1e6)
+    DIV denominator`` in pure integer arithmetic, bit-identical across
+    engines and engine versions (see text.quality_columns_ppm).  Used
+    by the driver's ``text_analysis`` hash row."""
+    from s2_geometry_library_php_spark.functions.text import PPM, _idiv
+
+    text = F.col(text_col)
+    n_chars = F.length(text).cast("long")
+    words = F.split(text, " ")
+    lines = F.split(text, "\n")
+    m = F.lit(PPM).cast("long")
+    one = F.lit(1).cast("long")
+
+    n_lines = F.size(lines).cast("long")
+    dup_lines = n_lines - F.size(F.array_distinct(lines)).cast("long")
+    line_chars = _sum_long(F.transform(lines, F.length))
+    rep_chars = line_chars - _sum_long(
+        F.transform(F.array_distinct(lines), F.length)
+    )
+
+    def top_ppm(n: int) -> Column:
+        grams = _grams(words, n)
+        best = _top_gram_best(grams)
+        covered = best["best_c"].cast("long") * F.length(
+            best["best_g"]
+        ).cast("long")
+        return F.when(
+            (F.size(grams) > 0) & (best["best_c"] >= 2),
+            _idiv(covered * m, F.greatest(n_chars, one)),
+        ).otherwise(F.lit(0).cast("long"))
+
+    g5 = _grams(words, 5)
+    n5 = F.size(g5).cast("long")
+    dup5 = n5 - F.size(F.array_distinct(g5)).cast("long")
+    return {
+        "dup_line_fraction_ppm": _idiv(
+            dup_lines * m, F.greatest(n_lines, one)
+        ),
+        "dup_line_char_fraction_ppm": _idiv(
+            rep_chars * m, F.greatest(line_chars, one)
+        ),
+        "top2gram_char_fraction_ppm": top_ppm(2),
+        "top3gram_char_fraction_ppm": top_ppm(3),
+        "dup_5gram_fraction_ppm": F.when(
+            n5 > 0, _idiv(dup5 * m, n5)
+        ).otherwise(F.lit(0).cast("long")),
+    }
+
+
+def repetition_duckdb_ppm(text_col: str = "text") -> dict[str, str]:
+    """DuckDB twins of :func:`repetition_columns_ppm` (`//` floor
+    division on BIGINTs, all operands non-negative)."""
+    from s2_geometry_library_php_spark.functions.text import PPM
+
+    lines = f"string_split({text_col}, chr(10))"
+    g5 = _ddb_grams(text_col, 5)
+    rep_chars = (
+        f"list_sum(list_transform(list_distinct({lines}), "
+        f"l -> (len(list_filter({lines}, x -> x = l)) - 1) * length(l)))"
+    )
+    line_chars = f"list_sum(list_transform({lines}, x -> length(x)))"
+
+    def top_ppm(n: int) -> str:
+        g = _ddb_grams(text_col, n)
+        best = (
+            f"list_sort(list_transform(list_distinct({g}), "
+            f"gg -> {{'nc': -len(list_filter({g}, x -> x = gg)), 'g': gg}}))[1]"
+        )
+        return (
+            f"CASE WHEN len({g}) > 0 AND -({best}.nc) >= 2 THEN "
+            f"CAST((CAST(-({best}.nc) AS BIGINT) * length({best}.g) * {PPM}) // "
+            f"greatest(length({text_col}), 1) AS BIGINT) "
+            f"ELSE CAST(0 AS BIGINT) END"
+        )
+
+    return {
+        "dup_line_fraction_ppm": (
+            f"CAST((CAST(len({lines}) - len(list_distinct({lines})) AS BIGINT) "
+            f"* {PPM}) // greatest(len({lines}), 1) AS BIGINT)"
+        ),
+        "dup_line_char_fraction_ppm": (
+            f"CAST((CAST(coalesce({rep_chars}, 0) AS BIGINT) * {PPM}) // "
+            f"greatest(coalesce({line_chars}, 0), 1) AS BIGINT)"
+        ),
+        "top2gram_char_fraction_ppm": top_ppm(2),
+        "top3gram_char_fraction_ppm": top_ppm(3),
+        "dup_5gram_fraction_ppm": (
+            f"CASE WHEN len({g5}) > 0 THEN "
+            f"CAST((CAST(len({g5}) - len(list_distinct({g5})) AS BIGINT) "
+            f"* {PPM}) // CAST(len({g5}) AS BIGINT) AS BIGINT) "
+            f"ELSE CAST(0 AS BIGINT) END"
+        ),
     }
 
 

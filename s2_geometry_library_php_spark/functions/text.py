@@ -154,6 +154,77 @@ def quality_duckdb(text_col: str = "text") -> dict[str, str]:
     }
 
 
+PPM = 1_000_000  # parts-per-million scale for integer-exact ratios
+
+
+def quality_columns_ppm(text_col: str = "text") -> dict[str, Column]:
+    """Integer-exact twins of :func:`quality_columns`: every ratio is
+    ``(numerator * 1e6) DIV denominator`` in PURE BIGINT arithmetic —
+    no doubles anywhere, so the values are bit-identical across
+    engines, engine VERSIONS, and partitionings (the float ``round(x,
+    6)`` spelling is correct but hash-fragile: a driver environment
+    with a different banker's-rounding half-case in either engine
+    flips the last digit).  Used by the driver's ``text_analysis``
+    hash row; the float forms remain the library API for gates."""
+    text = F.col(text_col)
+    words = F.split(text, " ")
+    n_chars = F.length(text).cast("long")
+    n_words = F.size(words).cast("long")
+    n_punct = F.length(F.translate(text, _ALNUM_SPACE, "")).cast("long")
+    stop_hits = F.size(F.filter(words, lambda w: w.isin(STOPWORDS))).cast(
+        "long"
+    )
+    nospace = F.length(F.translate(text, " ", "")).cast("long")
+    one = F.lit(1).cast("long")
+    m = F.lit(PPM).cast("long")
+    return {
+        "n_chars_computed": n_chars,
+        "n_words": n_words,
+        "punct_ratio_ppm": _idiv(n_punct * m, F.greatest(n_chars, one)),
+        "stopword_ratio_ppm": _idiv(stop_hits * m, F.greatest(n_words, one)),
+        "mean_word_len_ppm": _idiv(nospace * m, F.greatest(n_words, one)),
+    }
+
+
+def _idiv(a: Column, b: Column) -> Column:
+    """BIGINT floor division for non-negative operands (Spark's DIV),
+    expressed arithmetically so it stays a Column expression:
+    ``a DIV b == (a - a % b) / b`` exactly, and the final ``/`` is
+    exact because the numerator is a multiple of ``b``."""
+    exact = (a - F.pmod(a, b)) / b
+    return exact.cast("long")
+
+
+def quality_duckdb_ppm(text_col: str = "text") -> dict[str, str]:
+    """DuckDB twins of :func:`quality_columns_ppm` (`//` is integer
+    floor division on BIGINTs; all operands non-negative)."""
+    stop = _quote_list_sql(STOPWORDS)
+    n_chars = f"length({text_col})"
+    n_words = f"len(string_split({text_col}, ' '))"
+    alnum = f"length(regexp_replace({text_col}, '[^A-Za-z0-9 ]', '', 'g'))"
+    stop_hits = (
+        f"len(list_filter(string_split({text_col}, ' '), "
+        f"w -> list_contains([{stop}], w)))"
+    )
+    nospace = f"length(replace({text_col}, ' ', ''))"
+    return {
+        "n_chars_computed": f"CAST({n_chars} AS BIGINT)",
+        "n_words": f"CAST({n_words} AS BIGINT)",
+        "punct_ratio_ppm": (
+            f"CAST((CAST({n_chars} - {alnum} AS BIGINT) * {PPM}) // "
+            f"greatest({n_chars}, 1) AS BIGINT)"
+        ),
+        "stopword_ratio_ppm": (
+            f"CAST((CAST({stop_hits} AS BIGINT) * {PPM}) // "
+            f"greatest({n_words}, 1) AS BIGINT)"
+        ),
+        "mean_word_len_ppm": (
+            f"CAST((CAST({nospace} AS BIGINT) * {PPM}) // "
+            f"greatest({n_words}, 1) AS BIGINT)"
+        ),
+    }
+
+
 # --- token counting -----------------------------------------------------------------
 def token_count_column(text_col: str = "text") -> Column:
     """Whitespace + punctuation tokenizer count (BPE-ish regex)."""

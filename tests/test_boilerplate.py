@@ -177,3 +177,19 @@ def test_uppercase_scheme_hosts_not_merged(spark):
     out = {r["doc_id"]: r["text"] for r in strip_boilerplate(df).collect()}
     assert out[0] == "x zero" and out[2] == "x one"
     assert out[1] == "menu shared line\ny zero"
+
+
+def test_query_string_not_part_of_host(spark):
+    """'http://x.example?a=1' and 'http://x.example/p' are the SAME
+    host (the capture must stop at '?'/'#'), matching the
+    urltools/hostcap host rule used by the rest of the pipeline."""
+    rows = [
+        (0, "http://x.example?a=1", "menu shared line\nq zero"),
+        (1, "http://x.example/p1", "menu shared line\nq one"),
+        (2, "http://x.example/p2#frag", "menu shared line\nq two"),
+    ]
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["doc_id", "url", "text"])
+    )
+    boiler = {(r["host"], r["line"]) for r in boilerplate_lines(df).collect()}
+    assert boiler == {("x.example", "menu shared line")}

@@ -313,3 +313,13 @@ def test_clean_corpus_integration(spark):
     assert any(
         tok in txt for tok in ("<EMAIL>", "<IP>", "<PHONE>")
     )
+
+
+def test_cap_rejects_reserved_column_names(spark):
+    import pytest as _pytest
+
+    df = spark.createDataFrame(
+        [(1, "http://a/x", 0)], ["doc_id", "url", "_pri"]
+    )
+    with _pytest.raises(ValueError, match="_pri"):
+        cap_per_host(df, cap=1)

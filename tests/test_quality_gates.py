@@ -257,3 +257,106 @@ def test_repetition_fuzz_matches_python_twin(spark, texts):
         want = ref_signals(t)
         for n in NAMES:
             assert got[i][n] == pytest.approx(want[n], abs=1.5e-6), (n, t)
+
+
+# --- r5: integer-exact (ppm) twins --------------------------------------------------
+PPM_NAMES = [n + "_ppm" for n in NAMES]
+
+
+def test_ppm_twins_bit_exact_fixtures_and_testdata(spark, fixture_df, tmp_path):
+    """repetition_columns_ppm == repetition_duckdb_ppm by EXACT
+    integer equality (no approx) on the crafted fixtures AND the
+    sf0.001 corpus — plus floor(float_signal * 1e6) consistency
+    within 1 ulp of the ppm value."""
+    from s2_geometry_library_php_spark.functions.quality_gates import (
+        repetition_columns_ppm,
+        repetition_duckdb_ppm,
+    )
+
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    fx = fixture_df.select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
+    )
+    both = fx.unionByName(docs.where("doc_id < 200"))
+    cols = repetition_columns_ppm("text")
+    rows = (
+        both.select("doc_id", *[c.alias(n) for n, c in cols.items()])
+        .orderBy("doc_id")
+        .collect()
+    )
+    got = {r["doc_id"]: {n: r[n] for n in PPM_NAMES} for r in rows}
+    # all BIGINT
+    for v in got.values():
+        for n in PPM_NAMES:
+            assert isinstance(v[n], int), n
+
+    pq = os.path.join(str(tmp_path), "both.parquet")
+    both.toPandas().to_parquet(pq)
+    con = duckdb.connect()
+    exprs = repetition_duckdb_ppm("text")
+    sql = (
+        "SELECT doc_id, "
+        + ", ".join(f"{e} AS {n}" for n, e in exprs.items())
+        + f" FROM read_parquet('{pq}') ORDER BY doc_id"
+    )
+    for row in con.execute(sql).fetchall():
+        for i, n in enumerate(PPM_NAMES):
+            assert got[row[0]][n] == row[i + 1], (row[0], n)
+
+    # cross-check against the float signals (same numerators):
+    # ppm DIV result must equal floor(numer*1e6/denom) which the
+    # rounded float reproduces within 1 at the 1e-6 scale
+    fgot = _collect_signals(both)
+    for doc_id, v in fgot.items():
+        for n in NAMES:
+            assert abs(got[doc_id][n + "_ppm"] - v[n] * 1e6) <= 1.0, (
+                doc_id,
+                n,
+            )
+
+
+def test_quality_ppm_twins_bit_exact(spark, tmp_path):
+    """text.quality_columns_ppm == text.quality_duckdb_ppm exactly on
+    the sf0.001 corpus plus unicode/empty edge rows."""
+    from s2_geometry_library_php_spark.functions.text import (
+        quality_columns_ppm,
+        quality_duckdb_ppm,
+    )
+
+    edge = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [10_001, 10_002, 10_003, 10_004],
+                "text": ["", "héllo wörld! ¿qué?", "a  b", "猫 the cat!!!"],
+            }
+        )
+    )
+    docs = (
+        spark.read.parquet(f"{SF}/documents.parquet")
+        .select("doc_id", "text")
+        .where("doc_id < 200")
+        .unionByName(edge)
+    )
+    cols = quality_columns_ppm("text")
+    names = list(cols)
+    rows = (
+        docs.select("doc_id", *[c.alias(n) for n, c in cols.items()])
+        .orderBy("doc_id")
+        .collect()
+    )
+    got = {r["doc_id"]: tuple(r[n] for n in names) for r in rows}
+    pq = os.path.join(str(tmp_path), "q.parquet")
+    docs.toPandas().to_parquet(pq)
+    con = duckdb.connect()
+    exprs = quality_duckdb_ppm("text")
+    sql = (
+        "SELECT doc_id, "
+        + ", ".join(f"{exprs[n]} AS {n}" for n in names)
+        + f" FROM read_parquet('{pq}') ORDER BY doc_id"
+    )
+    for row in con.execute(sql).fetchall():
+        assert got[row[0]] == tuple(row[1:]), row[0]

@@ -2,7 +2,12 @@
 ``queries()`` entry on Spark at sf0.01 and its ``oracle_sql()`` twin in
 DuckDB, compare row multisets (column-name-sorted, order-insensitive).
 
-Usage: python tools/check_oracles.py [query ...]
+Usage: python tools/check_oracles.py [--exact] [query ...]
+
+``--exact`` (or CHECK_ORACLES_EXACT=1) compares floats by full bit
+value (`==`, no 9-digit rounding) — the driver's hash discipline.
+The default rounds floats to 9 digits, which can HIDE a mismatch the
+driver would flag; run --exact before shipping a query.
 """
 
 from __future__ import annotations
@@ -22,11 +27,14 @@ TABLES = [
 ]
 
 
+EXACT = os.environ.get("CHECK_ORACLES_EXACT", "") == "1"
+
+
 def norm_cell(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "nan"
-        return round(v, 9)
+        return v if EXACT else round(v, 9)
     return v
 
 
@@ -53,7 +61,11 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
-    only = set(sys.argv[1:])
+    args = [a for a in sys.argv[1:] if a != "--exact"]
+    if "--exact" in sys.argv[1:]:
+        global EXACT
+        EXACT = True
+    only = set(args)
     failures = []
     for name, fn in qs.items():
         if only and name not in only:
