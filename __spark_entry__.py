@@ -621,20 +621,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def q_ann_ivf(spark, sf):
         """IVF ANN: deterministic spherical k-means coarse quantizer
         (driver-trained) + inverted-list equi-join + exact re-rank."""
-        import duckdb as _d
-
         from s2_geometry_library_php_spark.operators.similarity import (
             ann_ivf_topk,
+            sample_training_vectors,
             train_ivf_centroids,
         )
 
-        vec_rows = _d.sql(
-            f"SELECT embedding FROM '{sf}/embeddings.parquet' ORDER BY vec_id"
-        ).fetchall()
-        cents = train_ivf_centroids(
-            np.asarray([r[0] for r in vec_rows], dtype=np.float64), IVF_LISTS
-        )
         emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+        # bounded deterministic training sample (<= 256 * n_lists
+        # vectors reach the driver via TakeOrderedAndProject — never
+        # the full table; see similarity.sample_training_vectors)
+        _, train_vecs = sample_training_vectors(emb, IVF_LISTS)
+        cents = train_ivf_centroids(train_vecs, IVF_LISTS)
         queries_df = emb.where(
             F.col("vec_id").isin(ANN_QUERY_IDS)
         ).select(F.col("vec_id").alias("query_id"), "embedding")
@@ -1937,6 +1935,7 @@ FROM r WHERE rnk <= 3
         ivf_numpy_twin,
         near_dup_numpy_twin,
         train_ivf_centroids,
+        training_sample_mask,
     )
 
     _ORACLE_CACHE["embedding_near_dup"] = _values_sql(
@@ -1944,7 +1943,12 @@ FROM r WHERE rnk <= 3
         [("id_a", "BIGINT"), ("id_b", "BIGINT"), ("cosine6", "DOUBLE")],
     )
 
-    _cents = train_ivf_centroids(evecs.astype(np.float64), IVF_LISTS)
+    # identical bounded training sample as the Spark path (a no-op at
+    # sf0.01 where n=500 < 256*16, but kept in lockstep by rule)
+    _tmask = training_sample_mask(eids, IVF_LISTS)
+    _cents = train_ivf_centroids(
+        evecs[_tmask].astype(np.float64), IVF_LISTS
+    )
     _ORACLE_CACHE["ann_ivf_topk"] = _values_sql(
         ivf_numpy_twin(eids, evecs, ANN_QUERY_IDS, ANN_K, _cents, IVF_PROBES),
         [("query_id", "BIGINT"), ("vec_id", "BIGINT"), ("rank", "BIGINT")],

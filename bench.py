@@ -472,15 +472,17 @@ def _run_suite(spark, sf_dir: str) -> tuple[dict, dict]:
         ).count(),
     )
 
-    # IVF: quantizer trained once driver-side over the base table (an
-    # offline index-build step at production scale, excluded from the
+    # IVF: quantizer trained once driver-side over a BOUNDED
+    # deterministic sample (<= 256 * n_lists vectors reach the driver
+    # via TakeOrderedAndProject — never the full table; an offline
+    # index-build step at production scale, excluded from the
     # per-query timing like any index build)
-    import numpy as _np
-
-    base_vecs = _np.stack(
-        [r.embedding for r in emb.select("embedding").collect()]
+    from s2_geometry_library_php_spark.operators.similarity import (
+        sample_training_vectors,
     )
+
     n_lists = ivf_lists_for(n_vecs)  # ~sqrt(N), the code default
+    _, base_vecs = sample_training_vectors(emb_big, n_lists)
     centroids = train_ivf_centroids(base_vecs, n_lists)
     timed(
         "ann_ivf_topk",

@@ -505,6 +505,71 @@ def ann_lsh_stats(
 
 
 # --- IVF (inverted-file) ANN: the second scale path ---------------------------------
+#: quantizer training-sample budget per inverted list — the standard
+#: IVF heuristic (FAISS trains on 39-256 points per centroid)
+TRAIN_PER_LIST = 256
+
+
+def sample_training_vectors(
+    embeddings: DataFrame,
+    n_lists: int,
+    per_list: int = TRAIN_PER_LIST,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> "tuple[np.ndarray, np.ndarray]":
+    """Deterministic BOUNDED quantizer-training sample: the
+    ``per_list * n_lists`` rows with the smallest sampling priority
+    (operators/sampling's quadratic id mix), returned sorted by id.
+
+    Driver-memory bound: ``orderBy(priority).limit(cap)`` plans as
+    TakeOrderedAndProject — every partition keeps at most ``cap``
+    rows and the driver merges partition top-Ks, so the collect is
+    O(cap * dim) REGARDLESS of corpus size (at 10^9 vectors the old
+    full-table fetchall was a driver OOM; cap = 256·√N lists ≈ 8M
+    rows at that scale, and per_list can be lowered further).
+
+    numpy twin: :func:`training_sample_mask` — selects the identical
+    id set, so the oracle trains the identical quantizer."""
+    from s2_geometry_library_php_spark.operators.sampling import (
+        sample_priority_column,
+    )
+
+    cap = int(per_list) * int(n_lists)
+    rows = (
+        embeddings.select(id_col, vec_col)
+        .orderBy(sample_priority_column(id_col), F.col(id_col))
+        .limit(cap)
+        .collect()
+    )
+    rows.sort(key=lambda r: r[0])  # id order fixes the k-means init
+    ids = np.asarray([r[0] for r in rows], dtype=np.int64)
+    vecs = np.asarray([r[1] for r in rows], dtype=np.float64)
+    return ids, vecs
+
+
+def training_sample_mask(
+    ids: np.ndarray, n_lists: int, per_list: int = TRAIN_PER_LIST
+) -> np.ndarray:
+    """Boolean mask over ``ids`` matching
+    :func:`sample_training_vectors`'s keeper set (same quadratic
+    priority, same (priority, id) order, same cap)."""
+    from s2_geometry_library_php_spark.operators.sampling import (
+        DEFAULT_SALT,
+        MIX_C1,
+        MODULUS,
+    )
+
+    ids = np.asarray(ids, dtype=np.int64)
+    cap = int(per_list) * int(n_lists)
+    x = np.mod(ids, MODULUS)
+    y = (x * x + MIX_C1) % MODULUS
+    pri = (y * y + DEFAULT_SALT) % MODULUS
+    order = np.lexsort((ids, pri))
+    mask = np.zeros(len(ids), dtype=bool)
+    mask[order[:cap]] = True
+    return mask
+
+
 def train_ivf_centroids(
     vecs: np.ndarray, n_lists: int | None = None, n_iters: int = 10,
     seed: int = 977,
