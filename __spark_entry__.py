@@ -116,7 +116,12 @@ def _values_sql(rows: list[tuple], columns: list[tuple[str, str]]) -> str:
         if isinstance(v, (int, np.integer)):
             return str(int(v))
         if isinstance(v, (float, np.floating)):
-            return repr(float(v))  # 17 sig digits: round-trips exactly
+            # string->DOUBLE parse is correctly rounded; a BARE
+            # decimal literal is not (DuckDB types it DECIMAL, and
+            # when the VALUES column unifies with a scientific-
+            # notation row the DECIMAL->DOUBLE conversion loses the
+            # last ulp — the exact-mode mismatch class)
+            return f"CAST('{float(v)!r}' AS DOUBLE)"
         s = str(v).replace("'", "''")
         return f"'{s}'"
 
