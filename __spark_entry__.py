@@ -72,6 +72,26 @@ TA_DSIR_BUCKETS = 512
 IVF_LISTS = 16
 IVF_PROBES = 6
 TILE_LEVEL = 8
+#: raster<->vector materialization: coarse parent level for the
+#: tile_rollup kind='raster' arm (4^(8-6)=16-entry grids)
+RASTER_COARSE_LEVEL = 6
+#: within-radius self-join radius (radians) for spatial_join's
+#: pair_kind='radius' arm — ~1100 pairs at sf0.01
+RADIUS_PAIRS_RAD = 0.005
+#: chunking / packing parameters for extract_text's doc-grain columns
+#: (docs are 10-99 whitespace tokens at test scales)
+EXTRACT_CHUNK_WINDOW = 32
+EXTRACT_CHUNK_STRIDE = 24
+EXTRACT_PACK_BUDGET = 128
+#: deterministic shared boilerplate paragraph appended to every doc's
+#: text (7 rotating variants -> each duplicated across ~1/7 of the
+#: corpus) so paragraph dedup has non-trivial work on the synthetic
+#: corpus; long enough to clear paragraph_dedup.DEFAULT_MIN_CHARS
+PARA_BOILER_PREFIX = (
+    "Shared boilerplate navigation footer variant "
+)
+PARA_BOILER_SUFFIX = " copyright terms privacy subscribe newsletter."
+PARA_SEP = "\n\n"
 
 
 # --------------------------------------------------------------------------- utils
@@ -321,9 +341,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         operators/tiling.py plan_adaptive_tiling): per-area coarsest
         level in [4,10] holding <= N/64 rows.  The oracle twin derives
         the same tiling per-LEAF (coarsest qualifying ancestor walk) —
-        a different algorithm from the engine's histogram semi-joins."""
+        a different algorithm from the engine's histogram semi-joins.
+
+        UNION the raster round trip (kind='raster': level-8 counts
+        pushed through rasterize_tiles -> vectorize_raster, which must
+        be the identity) and the raster grids themselves
+        (kind='raster_checksum': per coarse parent, the position-
+        weighted sum over the dense Hilbert-ordered grid — hash-checks
+        every path-bit POSITION against the oracle's independent bit
+        math, not just the values)."""
         from s2_geometry_library_php_spark.operators.tiling import (
             plan_adaptive_tiling,
+            rasterize_tiles,
+            vectorize_raster,
         )
 
         docs = _docs(spark, sf)
@@ -340,13 +370,54 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .select("level", "tile_token", "doc_count")
             .withColumn("kind", F.lit("adaptive"))
         )
-        return rolled.unionByName(adaptive)
+        ras = rasterize_tiles(tiles, TILE_LEVEL, RASTER_COARSE_LEVEL)
+        raster_back = (
+            vectorize_raster(ras, TILE_LEVEL, RASTER_COARSE_LEVEL)
+            .select(
+                F.lit(TILE_LEVEL).alias("level"),
+                "tile_token",
+                "doc_count",
+                F.lit("raster").alias("kind"),
+            )
+        )
+        raster_sum = ras.select(
+            F.lit(RASTER_COARSE_LEVEL).alias("level"),
+            F.col("raster_token").alias("tile_token"),
+            F.expr(
+                "aggregate(zip_with(raster, sequence(1, size(raster)),"
+                " (v, i) -> v * i), 0L, (a, x) -> a + x)"
+            ).alias("doc_count"),
+            F.lit("raster_checksum").alias("kind"),
+        )
+        return (
+            rolled.unionByName(adaptive)
+            .unionByName(raster_back)
+            .unionByName(raster_sum)
+        )
 
     def q_spatial_join(spark, sf):
-        docs = _docs(spark, sf).select("doc_id", "lat", "lon", "cell_id")
-        return spatial_join(spark, docs, region_fixtures()).select(
-            "doc_id", "region_id"
+        """Point-in-region flagship UNION the within-radius distance
+        self-join (operators/radius_join.py: ring-level hash equi-join
+        + exact-angle refine, both sides shuffled — never a θ-join).
+        Radius rows reuse the (doc_id, region_id) shape with region_id
+        = the partner doc and pair_kind disambiguating; the oracle's
+        radius arm is brute-force numpy over all N² angles."""
+        from s2_geometry_library_php_spark.operators.radius_join import (
+            self_radius_pairs,
         )
+
+        docs = _docs(spark, sf).select("doc_id", "lat", "lon", "cell_id")
+        contain = spatial_join(spark, docs, region_fixtures()).select(
+            "doc_id", "region_id", F.lit("contain").alias("pair_kind")
+        )
+        pairs = self_radius_pairs(
+            docs.select("doc_id", "lat", "lon"), RADIUS_PAIRS_RAD
+        ).select(
+            F.col("id_a").alias("doc_id"),
+            F.col("id_b").alias("region_id"),
+            F.lit("radius").alias("pair_kind"),
+        )
+        return contain.unionByName(pairs)
 
     def q_covering(spark, sf):
         cov = build_covering_table(spark, region_fixtures())
@@ -578,13 +649,65 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             EXTRACT_HOST_CAP,
             url_col="crawl_url",
         ).select("doc_id", F.lit(True).alias("in_host_cap"))
-        return (
+        d = (
             d.join(kept, "doc_id", "left")
             .withColumn(
                 "in_host_cap",
                 F.coalesce(F.col("in_host_cap"), F.lit(False)),
             )
             .withColumn("host", host_column("crawl_url"))
+        )
+        # context-window chunking (functions/chunking.py, zero-shuffle
+        # explode) aggregated back to the doc grain
+        from s2_geometry_library_php_spark.functions.chunking import (
+            chunk_documents,
+        )
+        from s2_geometry_library_php_spark.functions.paragraph_dedup import (
+            strip_duplicate_paragraphs,
+        )
+        from s2_geometry_library_php_spark.operators.scan import (
+            pack_sequences,
+        )
+
+        doc_text = d.select("doc_id", F.col("extracted").alias("text"))
+        ch = (
+            chunk_documents(
+                doc_text,
+                window=EXTRACT_CHUNK_WINDOW,
+                stride=EXTRACT_CHUNK_STRIDE,
+            )
+            .groupBy("doc_id")
+            .agg(
+                F.count(F.lit(1)).alias("n_chunks"),
+                F.sum("n_chunk_tokens").alias("sum_chunk_tokens"),
+            )
+        )
+        # sequence-packing coordinates (operators/scan.py bucketed
+        # two-phase prefix scan — no single-partition window)
+        pk = pack_sequences(
+            doc_text, budget=EXTRACT_PACK_BUDGET, order_col="doc_id"
+        ).select("doc_id", "pack_id", "pack_offset", "spans_packs")
+        # paragraph dedup (Lee et al. keep-first) over deterministically
+        # paragraphed text: every doc gets one of 7 shared boilerplate
+        # footers, so the dedup has real duplicates to strip
+        para_text = F.concat(
+            F.col("text"),
+            F.lit(PARA_SEP + PARA_BOILER_PREFIX),
+            (F.col("doc_id") % F.lit(7)).cast("string"),
+            F.lit(PARA_BOILER_SUFFIX),
+        )
+        stripped = strip_duplicate_paragraphs(
+            doc_text.select("doc_id", para_text.alias("text")),
+            sep=PARA_SEP,
+        ).select(
+            "doc_id",
+            F.length("text").cast("long").alias("para_kept_len"),
+            F.size(F.split("text", PARA_SEP))
+            .cast("long")
+            .alias("n_paras_kept"),
+        )
+        return d.join(ch, "doc_id").join(pk, "doc_id").join(
+            stripped, "doc_id"
         )
 
     def q_ann_cosine(spark, sf):
@@ -1435,6 +1558,33 @@ def _kernel_oracles() -> dict[str, str]:
                     cnt_t.tolist(),
                 )
             )
+            # raster round trip: identity at the fine level...
+            uniq8, cnt8 = np.unique(
+                cid.parent(leaf, TILE_LEVEL), return_counts=True
+            )
+            rows.extend(
+                (TILE_LEVEL, t, int(c), "raster")
+                for t, c in zip(cid.token_from_id(uniq8), cnt8.tolist())
+            )
+            # ...plus position-weighted grid checksums: independent
+            # bit math for the Hilbert path-bit positions the engine
+            # extracts natively in rasterize_tiles
+            _shift = np.uint64(2 * (30 - TILE_LEVEL) + 1)
+            _n = 4 ** (TILE_LEVEL - RASTER_COARSE_LEVEL)
+            _pos = (uniq8 >> _shift) & np.uint64(_n - 1)
+            _par = cid.parent(uniq8, RASTER_COARSE_LEVEL)
+            _checks: dict[int, int] = {}
+            for p, po, c in zip(
+                _par.tolist(), _pos.tolist(), cnt8.tolist()
+            ):
+                _checks[p] = _checks.get(p, 0) + (int(po) + 1) * int(c)
+            _par_sorted = np.asarray(sorted(_checks), dtype=np.uint64)
+            rows.extend(
+                (RASTER_COARSE_LEVEL, t, _checks[int(p)], "raster_checksum")
+                for t, p in zip(
+                    cid.token_from_id(_par_sorted), _par_sorted
+                )
+            )
             _ORACLE_CACHE[name] = _values_sql(
                 rows,
                 [
@@ -1456,11 +1606,35 @@ def _kernel_oracles() -> dict[str, str]:
         rows.extend(
             (int(d), int(spec["region_id"])) for d in doc_id[inside]
         )
-    _ORACLE_CACHE["spatial_join"] = _values_sql(
+    _contain_vals = _values_sql(
         rows, [("doc_id", "BIGINT"), ("region_id", "BIGINT")]
     )
     # the distributed-region path must produce the identical rows
-    _ORACLE_CACHE["spatial_join_distributed"] = _ORACLE_CACHE["spatial_join"]
+    # (contain-only: the radius arm lives on spatial_join proper)
+    _ORACLE_CACHE["spatial_join_distributed"] = _contain_vals
+    # spatial_join proper: contain rows + the within-radius self-join
+    # arm, brute-forced over all N^2 pairwise angles with the SAME
+    # atan2(|a x b|, a.b) kernel the Spark refine uses
+    _cross = np.cross(pts[:, None, :], pts[None, :, :])
+    _ang = np.arctan2(
+        np.sqrt((_cross * _cross).sum(axis=2)),
+        np.einsum("id,jd->ij", pts, pts),
+    )
+    _ia, _ib = np.where(np.triu(_ang <= RADIUS_PAIRS_RAD, k=1))
+    _sj_rows = [(int(d), int(r), "contain") for d, r in rows] + [
+        (int(doc_id[a]), int(doc_id[b]), "radius")
+        if doc_id[a] < doc_id[b]
+        else (int(doc_id[b]), int(doc_id[a]), "radius")
+        for a, b in zip(_ia, _ib)
+    ]
+    _ORACLE_CACHE["spatial_join"] = _values_sql(
+        _sj_rows,
+        [
+            ("doc_id", "BIGINT"),
+            ("region_id", "BIGINT"),
+            ("pair_kind", "VARCHAR"),
+        ],
+    )
     # range-join rewrite: DuckDB executes the LITERAL θ-join over the
     # same (doc_id, leaf) and covering-range tables that the Spark
     # side rewrites into the banded-prefix equi-join
@@ -1490,7 +1664,7 @@ def _kernel_oracles() -> dict[str, str]:
     )
     # stateless stream-static join: a full availableNow pass must
     # equal the batch join row-for-row
-    _ORACLE_CACHE["streaming_spatial_join"] = _ORACLE_CACHE["spatial_join"]
+    _ORACLE_CACHE["streaming_spatial_join"] = _contain_vals
     # anti-join: the complement of the matched doc set
     _members = {int(d) for d, _r in rows}
     _ORACLE_CACHE["spatial_antijoin"] = _values_sql(
@@ -2108,6 +2282,15 @@ WHERE round(len(list_intersect(a.sh, b.sh)) /
     )
 
     _pii_counts = pii_count_duckdb("leaky_text")
+    from s2_geometry_library_php_spark.functions.chunking import (
+        chunk_documents_duckdb,
+    )
+
+    _chunk_sql = chunk_documents_duckdb(
+        window=EXTRACT_CHUNK_WINDOW, stride=EXTRACT_CHUNK_STRIDE
+    )
+    _ntok = token_count_duckdb("text")
+    _sep_sql = "chr(10) || chr(10)"
     out["extract_text"] = f"""
 WITH u AS (
   SELECT doc_id, text, {synth_messy_url_sql('doc_id')} AS crawl_url
@@ -2117,17 +2300,67 @@ WITH u AS (
          {canonical_url_duckdb('crawl_url')} AS canonical_url,
          text || ' ' || ({synth_pii_text_sql('doc_id')}) AS leaky_text
   FROM u
+), ck AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_chunks,
+         CAST(sum(n_chunk_tokens) AS BIGINT) AS sum_chunk_tokens
+  FROM ({_chunk_sql}) GROUP BY doc_id
+), pk0 AS (
+  SELECT doc_id, {_ntok} AS n_tok,
+         sum({_ntok}) OVER (ORDER BY doc_id) - {_ntok} AS excl
+  FROM documents
+), pk AS (
+  SELECT doc_id,
+         CAST(excl // {EXTRACT_PACK_BUDGET} AS BIGINT) AS pack_id,
+         CAST(excl % {EXTRACT_PACK_BUDGET} AS BIGINT) AS pack_offset,
+         (excl % {EXTRACT_PACK_BUDGET}) + n_tok > {EXTRACT_PACK_BUDGET}
+           AS spans_packs
+  FROM pk0
+), plist AS (
+  SELECT doc_id,
+         string_split(
+           text || ({_sep_sql}) || '{PARA_BOILER_PREFIX}'
+                || CAST(doc_id % 7 AS VARCHAR)
+                || '{PARA_BOILER_SUFFIX}',
+           {_sep_sql}) AS lst
+  FROM documents
+), pp AS (
+  SELECT doc_id, unnest(lst) AS para,
+         unnest(range(len(lst))) AS pos
+  FROM plist
+), dup AS (
+  SELECT para, min(doc_id * 1000000 + pos) AS first_key
+  FROM pp WHERE len(trim(para)) >= 30
+  GROUP BY para HAVING count(DISTINCT doc_id) >= 2
+), pkept AS (
+  SELECT pp.doc_id,
+         coalesce(string_agg(pp.para, {_sep_sql} ORDER BY pp.pos), '')
+           AS kept
+  FROM pp LEFT JOIN dup ON pp.para = dup.para
+  WHERE dup.para IS NULL
+     OR pp.doc_id * 1000000 + pp.pos = dup.first_key
+  GROUP BY pp.doc_id
 )
-SELECT doc_id, text AS extracted, crawl_url, canonical_url,
-       min(doc_id) OVER (PARTITION BY canonical_url) AS url_keeper_doc_id,
-       {_pii_counts['n_email']} AS n_email,
-       {_pii_counts['n_ipv4']} AS n_ipv4,
-       {_pii_counts['n_phone']} AS n_phone,
-       {redact_pii_duckdb('leaky_text')} AS redacted_text,
-       ({cap_per_host_duckdb(EXTRACT_HOST_CAP, url_expr='crawl_url')})
-         <= {EXTRACT_HOST_CAP} AS in_host_cap,
-       {host_duckdb('crawl_url')} AS host
-FROM c
+, base AS (
+  SELECT doc_id, text AS extracted, crawl_url, canonical_url,
+         min(doc_id) OVER (PARTITION BY canonical_url) AS url_keeper_doc_id,
+         {_pii_counts['n_email']} AS n_email,
+         {_pii_counts['n_ipv4']} AS n_ipv4,
+         {_pii_counts['n_phone']} AS n_phone,
+         {redact_pii_duckdb('leaky_text')} AS redacted_text,
+         ({cap_per_host_duckdb(EXTRACT_HOST_CAP, url_expr='crawl_url')})
+           <= {EXTRACT_HOST_CAP} AS in_host_cap,
+         {host_duckdb('crawl_url')} AS host
+  FROM c
+)
+SELECT base.*, ck.n_chunks, ck.sum_chunk_tokens,
+       pk.pack_id, pk.pack_offset, pk.spans_packs,
+       CAST(len(pkept.kept) AS BIGINT) AS para_kept_len,
+       CAST(len(string_split(pkept.kept, {_sep_sql})) AS BIGINT)
+         AS n_paras_kept
+FROM base
+JOIN ck ON base.doc_id = ck.doc_id
+JOIN pk ON base.doc_id = pk.doc_id
+JOIN pkept ON base.doc_id = pkept.doc_id
 """
 
     out["streaming_dedup"] = (

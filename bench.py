@@ -328,6 +328,24 @@ def _run_suite(spark, sf_dir: str) -> tuple[dict, dict]:
     n_pairs = timed("radius_pairs_self_join", radius_pairs)
     extras["radius_pairs_found"] = n_pairs
 
+    # Polyline x polyline crossing join at scale: 1024 lines through
+    # the SHUFFLED raw-vs-ancestor candidate path (both sides
+    # distributed, no broadcast, no theta-join).
+    from s2_geometry_library_php_spark.operators.polyline_join import (
+        polyline_self_crossing_join,
+        synth_grid_lines,
+    )
+
+    _lines_1k = synth_grid_lines(1024)
+
+    def polyline_self_join():
+        return polyline_self_crossing_join(
+            spark, _lines_1k, brute=False
+        ).count()
+
+    n_line_pairs = timed("polyline_self_join_1k", polyline_self_join)
+    extras["polyline_crossing_pairs"] = n_line_pairs
+
     # k-nearest-regions through the two-level rect-block prune: 30k cap
     # regions (summaries built driver-side each sample — the honest
     # index-build cost), 100 probes, k=10.
@@ -720,16 +738,25 @@ def main() -> None:
 
     scaling = "--scaling" in sys.argv
     timings, extras = run_once(cpus, sf_dir)
+    # Headline stdout = ONE SHORT final JSON line (the driver captures
+    # a bounded stdout tail — BENCH_r04 lost its summary to truncation
+    # when extras straddled the capture window).  The full record
+    # (cold/median tables, ann stats, scaling sample arrays) goes to a
+    # side file under bench_runs/, written temp-then-rename so a
+    # killed run never leaves a 0-byte artifact.
     result = {
         "metric": "flagship_spatial_join_tiling_wall_sec",
         "value": timings["flagship_join_tiling"],
         "unit": "sec",
         "queries": timings,
         "sf": sf,
-        **extras,
+        "n_docs": extras.get("n_docs"),
+        "docs_per_sec": extras.get("docs_per_sec"),
     }
+    full = dict(result)
+    full.update(extras)
     if scaling:
-        result["scaling"] = scaling_compare(
+        sc = scaling_compare(
             small_cores=int(os.environ.get("SPARK_GRAFT_SCALE_SMALL", "2")),
             large_cores=int(os.environ.get("SPARK_GRAFT_SCALE_LARGE", "8")),
             sf_dir=sf_dir,
@@ -739,6 +766,23 @@ def main() -> None:
             repeats=int(os.environ.get("SPARK_GRAFT_SCALE_REPEATS", "3")),
             rounds=int(os.environ.get("SPARK_GRAFT_SCALE_ROUNDS", "2")),
         )
+        full["scaling"] = sc
+        result["scaling"] = {
+            k: sc[k]
+            for k in (
+                "cores_small", "cores_large", "median_small_sec",
+                "median_large_sec", "docs_per_sec_small",
+                "docs_per_sec_large", "efficiency", "efficiency_min",
+            )
+        }
+    os.makedirs("bench_runs", exist_ok=True)
+    stamp = time.strftime("%Y%m%dT%H%M%SZ", time.gmtime())
+    side = f"bench_runs/bench_full_{stamp}.json"
+    tmp = side + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(full, f, indent=1)
+    os.replace(tmp, side)
+    result["full_record"] = side
     print(json.dumps(result))
 
 

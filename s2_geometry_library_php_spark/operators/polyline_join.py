@@ -599,6 +599,25 @@ def _parent_dyn(cell, level):
     return cell.bitwiseAND(-lsb).bitwiseOR(lsb)
 
 
+def synth_grid_lines(n: int) -> list[dict]:
+    """Deterministic n-line scale fixture: alternating N-S / E-W
+    segments on a ~0.9-degree grid, long enough to cross several
+    neighbors — a sparse crossing graph (road-network shape), NOT
+    all-pairs.  Shared by the 1k-line scale test and the bench row."""
+    g = int(np.ceil(np.sqrt(n)))
+    lines = []
+    for i in range(n):
+        r, c = divmod(i, g)
+        lat0 = -14.0 + r * 0.9
+        lon0 = -14.0 + c * 0.9
+        if i % 2:
+            verts = [[lat0 - 1.1, lon0], [lat0 + 1.1, lon0]]
+        else:
+            verts = [[lat0, lon0 - 1.1], [lat0, lon0 + 1.1]]
+        lines.append(dict(line_id=i + 1, vertices=verts))
+    return lines
+
+
 def polyline_self_crossings_numpy(polylines: list[dict]) -> list[tuple]:
     """Brute all-pairs oracle for :func:`polyline_self_crossing_join`."""
     chains = {}

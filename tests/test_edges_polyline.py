@@ -327,3 +327,46 @@ def test_cost_based_crossover_brute_matches_indexed(spark):
     brt_s = polyline_self_crossing_join(spark, lines, brute=True)
     assert rows(auto_s) == rows(idx_s) == rows(brt_s)
     assert len(rows(auto_s)) > 0
+
+
+def test_polyline_self_crossing_join_1k_lines(spark):
+    """Scale fixture through the SHUFFLED raw-vs-ancestor path (1024
+    lines, brute=False): (a) full equality against the operator's own
+    brute arm (vectorized refine over all cross-line pairs), (b) exact
+    equality against the independent numpy robust_crossing oracle on a
+    64-line subsample, (c) still no Cartesian/BNLJ in the plan."""
+    from s2_geometry_library_php_spark.operators.polyline_join import (
+        polyline_self_crossing_join,
+        polyline_self_crossings_numpy,
+        synth_grid_lines,
+    )
+
+    lines = synth_grid_lines(1024)
+    df = polyline_self_crossing_join(spark, lines, brute=False)
+    got = {(r.line_a, r.line_b): r.n_crossings for r in df.collect()}
+    assert len(got) > 500  # sparse but non-trivial crossing graph
+
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+    brute = {
+        (r.line_a, r.line_b): r.n_crossings
+        for r in polyline_self_crossing_join(
+            spark, lines, brute=True
+        ).collect()
+    }
+    assert got == brute
+
+    # independent kernel oracle on a deterministic subsample
+    sub_ids = {lid for lid in range(1, 1025) if lid % 16 == 3}
+    sub = [ln for ln in lines if ln["line_id"] in sub_ids]
+    want = {
+        (a, b): c for a, b, c in polyline_self_crossings_numpy(sub)
+    }
+    got_sub = {
+        (a, b): c
+        for (a, b), c in got.items()
+        if a in sub_ids and b in sub_ids
+    }
+    assert got_sub == want
