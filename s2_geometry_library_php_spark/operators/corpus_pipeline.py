@@ -163,15 +163,18 @@ def clean_corpus(
     keep/drop decision is a pure function of document content and
     doc_id ordering, so reruns produce identical survivor sets.
 
-    ``reuse=True`` marks the annotated+gated frame for persistence
-    (lazy ``persist(MEMORY_AND_DISK)`` — the plan still materializes
-    only on the caller's first action).  The downstream dedup DAG
-    references that frame from up to six operator subtrees (the exact
-    -dedup groupBy, both sides of the LSH band self-join through the
-    keeper semi-join, and the final anti-join's left side); without
-    reuse Spark re-executes the gate scan — the regex-heavy
-    whole-stage-codegen pass that dominates pipeline cost — once per
-    subtree.  On a cluster this is exactly the stage-boundary
+    ``reuse=True`` marks the annotated+gated frame (BEFORE the
+    decontamination anti-join — see the inline comment) for
+    persistence (lazy ``persist(MEMORY_AND_DISK)`` — the plan still
+    materializes only on the caller's first action), plus the small
+    contaminated-id set when decontamination is on.  The
+    decontamination stage references the gate frame twice and the
+    downstream dedup DAG references its output from up to six
+    operator subtrees (the exact-dedup groupBy, both sides of the LSH
+    band self-join through the keeper semi-join, and the final
+    anti-join's left side); without reuse Spark re-executes the gate
+    scan — the regex-heavy whole-stage-codegen pass that dominates
+    pipeline cost — once per subtree.  On a cluster this is exactly the stage-boundary
     materialization the lineage design prescribes between gates and
     dedup (``plans/lineage.py``: each pipeline stage checkpoints its
     output so a killed job resumes); in-session ``persist`` is the
@@ -209,21 +212,37 @@ def clean_corpus(
         gated = gated.where(
             repetition_gate_column(text_col, repetition_thresholds)
         )
+    if reuse:
+        # Persist boundary sits BEFORE decontamination (r5 cold-path
+        # fix): the decontaminate stage references the gate frame
+        # TWICE — once to generate the corpus grams, once as the
+        # anti-join's left side — so persisting only the
+        # post-decontaminate output made a cold run execute the
+        # regex/gram-heavy gate scan twice (the dominant term of the
+        # 33x cold/steady spread BENCH_r04 measured).  With the
+        # boundary here the gate scan materializes exactly once; the
+        # contaminated-id set (small, eval-sized hits) is persisted
+        # separately below so the six downstream dedup subtrees pay
+        # only a cached-scan + broadcast anti-join per reference.
+        from pyspark import StorageLevel
+
+        gated = gated.persist(StorageLevel.MEMORY_AND_DISK)
     if decontaminate_against is not None:
         # GPT-3-style benchmark-overlap scrub (functions/
         # decontaminate.py) BEFORE dedup: identical contaminated
         # copies share their grams, so the whole group drops here
         # rather than electing a keeper first.
-        from ..functions.decontaminate import decontaminate
+        from ..functions.decontaminate import contaminated_ids
 
-        gated = decontaminate(
+        hits = contaminated_ids(
             gated, decontaminate_against, n=decontaminate_n,
             text_col=text_col,
         )
-    if reuse:
-        from pyspark import StorageLevel
+        if reuse:
+            from pyspark import StorageLevel
 
-        gated = gated.persist(StorageLevel.MEMORY_AND_DISK)
+            hits = hits.persist(StorageLevel.MEMORY_AND_DISK)
+        gated = gated.join(hits, "doc_id", "left_anti")
 
     # exact dedup: keep the min doc_id of each identical-content group
     keepers = exact_duplicate_groups(gated, text_col).select(
