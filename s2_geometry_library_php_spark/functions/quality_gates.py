@@ -37,6 +37,7 @@ literature and feed ``operators/corpus_pipeline.clean_corpus``.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -288,6 +289,146 @@ def repetition_gate_column(
     for name, limit in th.items():
         keep = keep & (cols[name] < F.lit(float(limit)))
     return keep
+
+
+# --- Arrow-vectorized twin (the pipeline hot path) ----------------------------
+#
+# The native-Column signals above are built from Spark's higher-order
+# collection functions (``transform`` / ``aggregate`` lambdas).  Those
+# are CodegenFallback expressions: Catalyst evaluates the lambda
+# INTERPRETED, once per array element, so a 200-word document pays
+# ~600 interpreted closures across the 2/3/5-gram arrays.  Measured on
+# the bench corpus (tools/cold_attribution.py, sf0.1 x100 replicas,
+# local[32]) the repetition stage alone cost 111.3s of the release
+# pipeline's 197s cold path.  An Arrow-batched scalar pandas UDF that
+# computes the same five signals with plain Python dict counting is
+# ~40x faster per row — this is the documented exception where a
+# Pandas UDF beats the "built-ins only" rule, because the built-in
+# here is not actually codegen'd.
+#
+# Exactness: the gate decision must be BIT-IDENTICAL to the native
+# Column gate (the release pipeline's survivor set is pinned by tests
+# and the bench).  Spark's ``round(x, 6)`` on DoubleType is
+# ``BigDecimal.valueOf(x).setScale(6, HALF_UP)`` where
+# ``BigDecimal.valueOf`` parses ``Double.toString`` — the SHORTEST
+# decimal representation.  Python's ``repr(float)`` is the same
+# shortest representation, so ``Decimal(repr(x)).quantize(1e-6,
+# ROUND_HALF_UP)`` reproduces Spark's rounding exactly (note plain
+# Python ``round`` would NOT: it is half-even).  String tie-breaks
+# compare code points in Python vs UTF-8 bytes in Spark's
+# ``array_sort`` — identical orders, since UTF-8 byte order preserves
+# code-point order.  ``str.split`` / ``len`` count code points like
+# Spark's ``split`` / ``length``.  test_quality_gates.py pins the
+# arrow gate against the native gate on fixtures, real testdata, and
+# a hypothesis fuzz.
+
+
+def repetition_signals_exact(text: str) -> dict[str, float]:
+    """Pure-Python twin of :func:`repetition_columns`, bit-exact
+    including Spark's ROUND HALF_UP semantics (see block comment)."""
+    return {
+        name: sig()
+        for name, sig in _signal_thunks(text).items()
+    }
+
+
+def _round6(x: float) -> float:
+    from decimal import ROUND_HALF_UP, Decimal
+
+    return float(
+        Decimal(repr(x)).quantize(Decimal("0.000001"), ROUND_HALF_UP)
+    )
+
+
+def _signal_thunks(text: str) -> dict:
+    """The five signals as lazy thunks, cheapest first — the gate
+    evaluates them in order and short-circuits on the first failure,
+    so a page that trips the (nearly free) line rules never builds
+    its gram lists."""
+    lines = text.split("\n")
+    n_lines = len(lines)
+
+    def dup_line_fraction() -> float:
+        return _round6((n_lines - len(set(lines))) / max(n_lines, 1))
+
+    def dup_line_char_fraction() -> float:
+        line_chars = sum(map(len, lines))
+        rep_chars = line_chars - sum(map(len, set(lines)))
+        return _round6(rep_chars / max(line_chars, 1))
+
+    # words/grams built lazily and cached across the gram signals
+    state: dict = {}
+
+    def words() -> list:
+        if "w" not in state:
+            state["w"] = text.split(" ")
+        return state["w"]
+
+    def grams(n: int) -> list:
+        w = words()
+        return [" ".join(w[i : i + n]) for i in range(len(w) - n + 1)]
+
+    def dup_5gram_fraction() -> float:
+        g = grams(5)
+        if not g:
+            return 0.0
+        return _round6((len(g) - len(set(g))) / len(g))
+
+    def top_gram(n: int) -> float:
+        g = grams(n)
+        if not g:
+            return 0.0
+        counts: dict = {}
+        for x in g:
+            counts[x] = counts.get(x, 0) + 1
+        # deterministic argmax: max count, ties to smallest gram
+        best_c, best_g = min((-c, s) for s, c in counts.items())
+        best_c = -best_c
+        if best_c < 2:
+            return 0.0
+        return _round6(best_c * len(best_g) / max(len(text), 1))
+
+    return {
+        "dup_line_fraction": dup_line_fraction,
+        "dup_line_char_fraction": dup_line_char_fraction,
+        "dup_5gram_fraction": dup_5gram_fraction,
+        "top2gram_char_fraction": lambda: top_gram(2),
+        "top3gram_char_fraction": lambda: top_gram(3),
+    }
+
+
+def repetition_gate_arrow(
+    text_col: str = "text",
+    thresholds: dict[str, float] | None = None,
+) -> Column:
+    """Arrow-batched twin of :func:`repetition_gate_column` — same
+    keep/drop decision on every document (null text ⇒ dropped by both:
+    the native gate yields NULL, this one False; ``WHERE`` treats them
+    alike), ~40x cheaper per row than the interpreted-lambda Columns.
+    Use in pipeline hot paths; keep the native Columns where the
+    driver's oracle needs a per-signal SQL surface."""
+    th = dict(DEFAULT_THRESHOLDS)
+    if thresholds:
+        th.update(thresholds)
+    limits = {k: float(v) for k, v in th.items()}
+    unknown = set(limits) - set(_signal_thunks("").keys())
+    if unknown:  # same loud failure as the native gate's cols[name]
+        raise KeyError(f"unknown repetition signal(s): {sorted(unknown)}")
+
+    @F.pandas_udf("boolean")
+    def _gate(batch: pd.Series) -> pd.Series:
+        def keep(text) -> bool:
+            if text is None:
+                return False
+            # thunk order = cheapest first; short-circuit on failure
+            for name, sig in _signal_thunks(text).items():
+                if name in limits and not sig() < limits[name]:
+                    return False
+            return True
+
+        return pd.Series([keep(t) for t in batch], dtype=bool)
+
+    return _gate(F.col(text_col))
 
 
 # --- DuckDB twins -------------------------------------------------------------------

@@ -40,7 +40,7 @@ from pyspark.sql import functions as F
 from ..functions import s2_cell_id
 from ..functions.dedup import exact_duplicate_groups, minhash_band_pairs
 from ..functions.boilerplate import strip_boilerplate
-from ..functions.quality_gates import repetition_gate_column
+from ..functions.quality_gates import repetition_gate_arrow
 from ..functions.paragraph_dedup import strip_duplicate_paragraphs
 from ..functions.urltools import url_dedup
 from ..functions.pii import redact_pii as redact_pii_stage
@@ -207,10 +207,14 @@ def clean_corpus(
         gated = gated.where(F.col("lang_guess").isin(list(langs)))
     if repetition_thresholds is not None:
         # Gopher-style repetition gate (quality_gates.py); pass {} for
-        # the published default thresholds.  Native SQL — rides the
-        # same scan as the other gates.
+        # the published default thresholds.  Arrow-batched twin of the
+        # native-Column gate: same keep/drop decision (parity-pinned in
+        # test_quality_gates.py), ~40x cheaper per row because the
+        # native signals ride interpreted higher-order lambdas, not
+        # codegen (tools/cold_attribution.py measured them at 111.3s of
+        # the 197s release-pipeline cold path).
         gated = gated.where(
-            repetition_gate_column(text_col, repetition_thresholds)
+            repetition_gate_arrow(text_col, repetition_thresholds)
         )
     if reuse:
         # Persist boundary sits BEFORE decontamination (r5 cold-path

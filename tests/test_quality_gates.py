@@ -360,3 +360,91 @@ def test_quality_ppm_twins_bit_exact(spark, tmp_path):
     )
     for row in con.execute(sql).fetchall():
         assert got[row[0]] == tuple(row[1:]), row[0]
+
+
+# --- Arrow gate parity (the pipeline hot path) ---------------------------------------
+from s2_geometry_library_php_spark.functions.quality_gates import (  # noqa: E402
+    repetition_gate_arrow,
+    repetition_signals_exact,
+)
+
+# adversarial shapes for the exact twin: words containing newlines
+# (tie-break order stress), multi-space runs (empty words), unicode
+ADVERSARIAL = [
+    (100, "b\na x b\na x"),          # gram strings contain '\n' < ' '
+    (101, "a  b  a  b  a  b"),       # empty words from double spaces
+    (102, "héllo wörld héllo wörld héllo wörld"),  # non-ASCII lengths
+    (103, " leading and trailing "),
+    (104, "\n\n\n"),                 # only empty lines
+    (105, "tie tie tie bar bar bar"),  # 3-way count tie at 2-grams
+]
+
+
+@pytest.fixture(scope="module")
+def parity_df(spark):
+    rows = FIXTURES + ADVERSARIAL + [(999, None)]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_signals_exact_twin_bit_identical(parity_df):
+    """repetition_signals_exact == the native Columns with EXACT float
+    equality (not approx) — pins the HALF_UP round twin."""
+    got = _collect_signals(parity_df.where("text is not null"))
+    for doc_id, text in FIXTURES + ADVERSARIAL:
+        want = repetition_signals_exact(text)
+        for n in NAMES:
+            assert got[doc_id][n] == want[n], (doc_id, n, text)
+
+
+def test_arrow_gate_matches_native_on_fixtures(parity_df):
+    for th in (None, {}, {"top2gram_char_fraction": 0.11}):
+        kept_native = {
+            r["doc_id"]
+            for r in parity_df.where(
+                repetition_gate_column("text", th)
+            ).collect()
+        }
+        kept_arrow = {
+            r["doc_id"]
+            for r in parity_df.where(
+                repetition_gate_arrow("text", th)
+            ).collect()
+        }
+        assert kept_native == kept_arrow, th
+    assert 999 not in kept_native  # null text dropped by both
+
+
+def test_arrow_gate_matches_native_on_testdata(spark):
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    kept_native = {
+        r["doc_id"]
+        for r in docs.where(repetition_gate_column("text")).collect()
+    }
+    kept_arrow = {
+        r["doc_id"]
+        for r in docs.where(repetition_gate_arrow("text")).collect()
+    }
+    assert kept_native == kept_arrow
+    assert 0 < len(kept_arrow) < docs.count()  # gate is non-trivial
+
+
+def test_arrow_gate_unknown_signal_raises():
+    with pytest.raises(KeyError):
+        repetition_gate_arrow("text", {"not_a_signal": 0.5})
+
+
+@settings(max_examples=4, deadline=None)
+@given(st.lists(_webtext(), min_size=1, max_size=25))
+def test_arrow_gate_fuzz_matches_native(spark, texts):
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    # tight thresholds so the fuzz actually exercises both branches
+    th = {n: 0.12 for n in DEFAULT_THRESHOLDS}
+    kept_native = {
+        r["doc_id"] for r in df.where(repetition_gate_column("text", th)).collect()
+    }
+    kept_arrow = {
+        r["doc_id"] for r in df.where(repetition_gate_arrow("text", th)).collect()
+    }
+    assert kept_native == kept_arrow, texts

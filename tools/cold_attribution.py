@@ -63,7 +63,7 @@ def main() -> None:
         url_dedup,
     )
     from s2_geometry_library_php_spark.functions.quality_gates import (
-        repetition_gate_column,
+        repetition_gate_arrow,
     )
     from s2_geometry_library_php_spark.functions.decontaminate import (
         decontaminate,
@@ -130,7 +130,7 @@ def main() -> None:
         )
 
     def p_rep(d):
-        return p_gates(d).where(repetition_gate_column("text", {}))
+        return p_gates(d).where(repetition_gate_arrow("text", {}))
 
     def p_decon(d):
         return decontaminate(p_rep(d), bench_slice, n=5)
