@@ -448,3 +448,10 @@ def test_arrow_gate_fuzz_matches_native(spark, texts):
         r["doc_id"] for r in df.where(repetition_gate_arrow("text", th)).collect()
     }
     assert kept_native == kept_arrow, texts
+
+
+def test_arrow_gate_empty_frame(spark):
+    # zero-row Arrow batches through the pandas UDF (driver smoke
+    # gotcha: empty frames must not break the gate)
+    df = spark.createDataFrame([], "doc_id long, text string")
+    assert df.where(repetition_gate_arrow("text")).count() == 0
