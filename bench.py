@@ -386,6 +386,28 @@ def _run_suite(spark, sf_dir: str) -> tuple[dict, dict]:
         lambda: minhash_band_pairs(base.select("doc_id", "text")).count(),
     )
 
+    # Token-span exact-substring dedup (Lee et al. ExactSubstr,
+    # functions/exact_substr.py) on a 10x-replicated corpus — the
+    # worst-case crawl-duplication shape: every >=50-token document's
+    # text is duplicated 10 times, so ~90% of gram mass is duplicated
+    # and every replica collapses to one removable island.
+    from s2_geometry_library_php_spark.functions.exact_substr import (
+        strip_duplicate_spans,
+    )
+
+    es_docs = (
+        base.select("doc_id", "text")
+        .withColumn("rep", F.explode(F.sequence(F.lit(0), F.lit(9))))
+        .withColumn("doc_id", F.col("doc_id") * 10 + F.col("rep"))
+        .drop("rep")
+    )
+    timed(
+        "exact_substr_strip_10x",
+        lambda: strip_duplicate_spans(es_docs, k=50)
+        .select(F.sum(F.length("text")))
+        .first()[0],
+    )
+
     # The COMPOSED cleaning pipeline (operators/corpus_pipeline) as one
     # lazy plan over the full replicated corpus: annotate -> language +
     # quality gates -> exact dedup (collapses the replicas, the
