@@ -149,6 +149,7 @@ def clean_corpus(
     strip_site_boilerplate: bool = False,
     dedup_by_url: bool = False,
     strip_paragraph_dups: bool = False,
+    strip_substr_dups_k: int | None = None,
     max_docs_per_host: int | None = None,
     redact_pii: bool = False,
     decontaminate_against: DataFrame | None = None,
@@ -197,6 +198,14 @@ def clean_corpus(
         # (functions/paragraph_dedup.py) — after host boilerplate,
         # before annotation, so gates judge the deduplicated prose.
         docs = strip_duplicate_paragraphs(docs, text_col)
+    if strip_substr_dups_k is not None:
+        # Lee et al. ExactSubstr token-span removal
+        # (functions/exact_substr.py) — finest-granularity dedup,
+        # same pre-annotation position as the paragraph stage; the
+        # value is the span length k (the paper uses 50).
+        from ..functions.exact_substr import strip_duplicate_spans
+
+        docs = strip_duplicate_spans(docs, text_col, k=strip_substr_dups_k)
     annotated = annotate_corpus(docs, text_col)
 
     gated = annotated.where(

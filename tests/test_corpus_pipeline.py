@@ -233,3 +233,21 @@ def test_clean_corpus_paragraph_dedup_stage(spark):
     # doc 0 keeps the global first occurrence; doc 1's copy is stripped
     assert texts[0] == f"{EN}\n\n{license_block}"
     assert texts[1] == EN2
+
+
+def test_clean_corpus_exact_substr_stage(spark):
+    shared = " ".join(f"boiler{i} plate{i}" for i in range(10))  # 20 tokens
+    rows = [
+        (0, f"{EN} {shared}", 10.0, 20.0),
+        (1, f"{EN2} {shared}", -30.0, 50.0),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lat double, lon double"
+    )
+    got = clean_corpus(
+        spark, docs, near_dup_threshold=None, strip_substr_dups_k=8
+    )
+    texts = {r.doc_id: r.text for r in got.select("doc_id", "text").collect()}
+    # doc 0 keeps the globally-first span copy; doc 1 loses the span
+    assert texts[0] == f"{EN} {shared}"
+    assert texts[1] == EN2
