@@ -76,6 +76,11 @@ DEFAULT_MIN_COUNT = 2
 #: so every window position keeps full 64-bit entropy)
 _ROLL_BASE = np.uint64(1099511628211)
 
+#: bits reserved for the token position when packing (doc_id, pos)
+#: into one hash-aggregatable long — see duplicate_grams
+_POS_BITS = 24
+_POS_PACK = 1 << _POS_BITS
+
 
 def _word_hash64(word: str, cache: dict) -> int:
     """Deterministic 64-bit word hash (md5 prefix — Python's builtin
@@ -97,6 +102,11 @@ def _rolling_gram_hashes(text: str, k: int, cache: dict) -> list[int]:
     n = len(words)
     if n < k:
         return []
+    if n - k >= _POS_PACK:
+        raise ValueError(
+            f"document has {n} tokens; gram positions must fit in "
+            f"{_POS_BITS} bits (see duplicate_grams packing)"
+        )
     wh = np.fromiter(
         (_word_hash64(w, cache) for w in words), dtype=np.uint64, count=n
     )
@@ -145,6 +155,12 @@ def _gram_hashes_arrow(k: int):
         cache: dict = {}
         word_lists = [t.split(" ") for t in texts]
         ns = [len(wl) for wl in word_lists]
+        if ns and max(ns) - k >= _POS_PACK:
+            raise ValueError(
+                f"document has {max(ns)} tokens; gram positions "
+                f"must fit in {_POS_BITS} bits (see duplicate_grams"
+                " packing)"
+            )
         total = sum(ns)
         flat = np.fromiter(
             (_word_hash64(w, cache) for wl in word_lists for w in wl),
@@ -192,20 +208,40 @@ def duplicate_grams(
 ) -> DataFrame:
     """One row per duplicated k-gram: ``(gram, n_occ, first_doc_id,
     first_pos)`` — the first occurrence in global ``(doc_id, pos)``
-    order is the keeper under ``keep_first`` semantics."""
+    order is the keeper under ``keep_first`` semantics.
+
+    The first occurrence is tracked as ``min(doc_id * 2^24 + pos)``,
+    NOT ``min(struct(doc_id, pos))``: struct-min is not
+    hash-aggregatable and drops the whole gram stream into a
+    partition-sorting SortAggregate, while the packed long keeps the
+    frequency pass in a plain partial-aggregating HashAggregate —
+    the shape that matters when the gram stream is corpus-sized.
+    Packing is order-isomorphic to the lexicographic pair for any
+    (also negative) doc_id while ``0 <= pos < 2^24`` (16.7M tokens
+    per document — the Arrow kernel raises loudly beyond it) and
+    ``|doc_id| < 2^39``; overflow past that fails loudly under
+    Spark's ANSI arithmetic."""
     return (
         _doc_grams(docs, text_col, k, native)
         .groupBy("gram")
         .agg(
             F.count(F.lit(1)).alias("n_occ"),
-            F.min(F.struct("doc_id", "pos")).alias("first_occ"),
+            F.min(
+                F.col("doc_id") * F.lit(_POS_PACK) + F.col("pos")
+            ).alias("_first_packed"),
         )
         .where(F.col("n_occ") >= F.lit(int(min_count)))
         .select(
             "gram",
             "n_occ",
-            F.col("first_occ.doc_id").alias("first_doc_id"),
-            F.col("first_occ.pos").alias("first_pos"),
+            F.shiftright("_first_packed", _POS_BITS).alias(
+                "first_doc_id"
+            ),
+            (
+                F.col("_first_packed")
+                - F.shiftright("_first_packed", _POS_BITS)
+                * F.lit(_POS_PACK)
+            ).cast("int").alias("first_pos"),
         )
     )
 
