@@ -20,7 +20,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import duckdb  # noqa: E402
 
-SF = "/root/testdata/sf0.01"
+#: driver gate runs at sf0.01; override for scale cross-checks
+SF = os.environ.get("CHECK_ORACLES_SF", "/root/testdata/sf0.01")
 TABLES = [
     "region", "nation", "customer", "supplier", "part", "orders",
     "lineitem", "events", "documents", "embeddings",
