@@ -92,6 +92,15 @@ PARA_BOILER_PREFIX = (
 )
 PARA_BOILER_SUFFIX = " copyright terms privacy subscribe newsletter."
 PARA_SEP = "\n\n"
+#: exact-substring span dedup (functions/exact_substr.py) parameters
+#: for extract_text's es_* columns: k=6 token windows over the doc's
+#: real text plus a deterministic shared suffix — 5 rotating variant
+#: digits give ~1/5-corpus duplicate runs, and the constant tail
+#: ("alpha ... zeta", exactly k tokens) is duplicated across the
+#: WHOLE corpus, exercising keep-first at full fan-out
+ES_K = 6
+ES_SPAN_PREFIX = "esdup shared span marker variant "
+ES_SPAN_SUFFIX = " alpha beta gamma delta epsilon zeta"
 
 
 # --------------------------------------------------------------------------- utils
@@ -706,8 +715,54 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .cast("long")
             .alias("n_paras_kept"),
         )
-        return d.join(ch, "doc_id").join(pk, "doc_id").join(
-            stripped, "doc_id"
+        # exact-substring span dedup (Lee et al. ExactSubstr,
+        # functions/exact_substr.py): islands over the doc's real
+        # text + a deterministic shared suffix; native md5 gram
+        # formulation so the DuckDB oracle hashes byte-identically
+        from s2_geometry_library_php_spark.functions.exact_substr import (
+            duplicate_spans,
+        )
+
+        es_text = F.concat(
+            F.col("text"),
+            F.lit(" " + ES_SPAN_PREFIX),
+            (F.col("doc_id") % F.lit(5)).cast("string"),
+            F.lit(ES_SPAN_SUFFIX),
+        )
+        es_docs = doc_text.select("doc_id", es_text.alias("text"))
+        es = (
+            duplicate_spans(es_docs, k=ES_K, native=True)
+            .groupBy("doc_id")
+            .agg(
+                F.sum(
+                    F.col("span_end") - F.col("span_start")
+                ).alias("es_removed_tokens"),
+                F.count(F.lit(1)).alias("es_n_spans"),
+            )
+        )
+        es_cols = (
+            es_docs.join(es, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.coalesce("es_removed_tokens", F.lit(0))
+                .cast("long")
+                .alias("es_removed_tokens"),
+                F.coalesce("es_n_spans", F.lit(0))
+                .cast("long")
+                .alias("es_n_spans"),
+                (
+                    F.size(F.split("text", " "))
+                    - F.coalesce("es_removed_tokens", F.lit(0))
+                )
+                .cast("long")
+                .alias("es_kept_tokens"),
+            )
+        )
+        return (
+            d.join(ch, "doc_id")
+            .join(pk, "doc_id")
+            .join(stripped, "doc_id")
+            .join(es_cols, "doc_id")
         )
 
     def q_ann_cosine(spark, sf):
@@ -2339,6 +2394,41 @@ WITH u AS (
   WHERE dup.para IS NULL
      OR pp.doc_id * 1000000 + pp.pos = dup.first_key
   GROUP BY pp.doc_id
+), esx AS (
+  SELECT doc_id,
+         string_split(text || ' {ES_SPAN_PREFIX}'
+                      || CAST(doc_id % 5 AS VARCHAR)
+                      || '{ES_SPAN_SUFFIX}', ' ') AS w
+  FROM documents
+), esg AS (
+  SELECT doc_id, pos,
+         md5(array_to_string(w[pos+1:pos+{ES_K}], ' ')) AS gram
+  FROM (SELECT doc_id, w, unnest(range(len(w) - {ES_K} + 1)) AS pos
+        FROM esx WHERE len(w) >= {ES_K})
+), esdup AS (
+  SELECT gram, min(doc_id * 16777216 + pos) AS first_key
+  FROM esg GROUP BY gram HAVING count(*) >= 2
+), esrem AS (
+  SELECT DISTINCT doc_id, tpos FROM (
+    SELECT g.doc_id, g.pos + unnest(range({ES_K})) AS tpos
+    FROM esg g JOIN esdup dd ON g.gram = dd.gram
+    WHERE g.doc_id * 16777216 + g.pos <> dd.first_key)
+), esagg AS (
+  SELECT doc_id, count(*) AS removed,
+         sum(CASE WHEN prev IS NULL OR tpos - prev > 1
+                  THEN 1 ELSE 0 END) AS n_spans
+  FROM (SELECT doc_id, tpos,
+               lag(tpos) OVER (PARTITION BY doc_id ORDER BY tpos)
+                 AS prev
+        FROM esrem)
+  GROUP BY doc_id
+), esw AS (
+  SELECT x.doc_id,
+         CAST(coalesce(a.removed, 0) AS BIGINT) AS es_removed_tokens,
+         CAST(coalesce(a.n_spans, 0) AS BIGINT) AS es_n_spans,
+         CAST(len(x.w) - coalesce(a.removed, 0) AS BIGINT)
+           AS es_kept_tokens
+  FROM esx x LEFT JOIN esagg a ON x.doc_id = a.doc_id
 )
 , base AS (
   SELECT doc_id, text AS extracted, crawl_url, canonical_url,
@@ -2356,11 +2446,13 @@ SELECT base.*, ck.n_chunks, ck.sum_chunk_tokens,
        pk.pack_id, pk.pack_offset, pk.spans_packs,
        CAST(len(pkept.kept) AS BIGINT) AS para_kept_len,
        CAST(len(string_split(pkept.kept, {_sep_sql})) AS BIGINT)
-         AS n_paras_kept
+         AS n_paras_kept,
+       esw.es_removed_tokens, esw.es_n_spans, esw.es_kept_tokens
 FROM base
 JOIN ck ON base.doc_id = ck.doc_id
 JOIN pk ON base.doc_id = pk.doc_id
 JOIN pkept ON base.doc_id = pkept.doc_id
+JOIN esw ON base.doc_id = esw.doc_id
 """
 
     out["streaming_dedup"] = (
