@@ -339,6 +339,45 @@ def main() -> None:
             rasterize_tiles(tile_aggregate(docs, 10), 10, 7),
         )
     )
+    from s2_geometry_library_php_spark.functions.exact_substr import (
+        strip_duplicate_spans,
+    )
+
+    plans.append(
+        (
+            "exact-substring span dedup (two linear gram scans; "
+            "frequency pass is pure partial-agg HashAggregate — "
+            "min(packed long), NOT min(struct), which would force a "
+            "partition-sorting SortAggregate of the corpus-sized gram "
+            "stream; only duplicated occurrences reach the island "
+            "window; islands broadcast back onto the un-exchanged "
+            "corpus scan)",
+            strip_duplicate_spans(
+                raw_docs.select("doc_id", "text"), k=50
+            ),
+        )
+    )
+
+    from s2_geometry_library_php_spark.operators.corpus_pipeline import (
+        clean_corpus,
+    )
+
+    plans.append(
+        (
+            "release-pipeline gate frame with the Arrow repetition "
+            "gate (cheap native gates filter BELOW ArrowEvalPython; "
+            "annotation projection deferred ABOVE it — the Python "
+            "worker sees only cheap-gate survivors, and annotation "
+            "columns compute only for repetition survivors)",
+            clean_corpus(
+                spark,
+                raw_docs.select("doc_id", "text"),
+                near_dup_threshold=None,
+                repetition_thresholds={},
+                reuse=False,
+            ),
+        )
+    )
 
     out = ["# EXPLAIN — physical plans of the headline operators\n"]
     out.append(
