@@ -2386,7 +2386,7 @@ WITH u AS (
   SELECT para, min(doc_id * 1000000 + pos) AS first_key
   FROM pp WHERE len(trim(para)) >= 30
   GROUP BY para HAVING count(DISTINCT doc_id) >= 2
-), pkept AS (
+), pkept0 AS (
   SELECT pp.doc_id,
          coalesce(string_agg(pp.para, {_sep_sql} ORDER BY pp.pos), '')
            AS kept
@@ -2394,6 +2394,14 @@ WITH u AS (
   WHERE dup.para IS NULL
      OR pp.doc_id * 1000000 + pp.pos = dup.first_key
   GROUP BY pp.doc_id
+), pkept AS (
+  -- LEFT join from documents: a doc whose EVERY paragraph is a
+  -- duplicated non-keeper has no pkept0 group but must survive with
+  -- empty text, exactly like the Spark operator's left-join +
+  -- coalesce('') (first hit at sf0.1, where 8 docs' own text is an
+  -- exact corpus duplicate on top of the shared footer)
+  SELECT d.doc_id, coalesce(p.kept, '') AS kept
+  FROM documents d LEFT JOIN pkept0 p ON d.doc_id = p.doc_id
 ), esx AS (
   SELECT doc_id,
          string_split(text || ' {ES_SPAN_PREFIX}'
