@@ -529,6 +529,26 @@ def _run_suite(spark, sf_dir: str) -> tuple[dict, dict]:
         lambda: ann_ivf_topk(emb_big, ann_q, 10, centroids).count(),
     )
 
+    # SemDeDup (Abbas et al.) semantic pruning: cluster count scales
+    # LINEARLY with N (fixed ~1k target cluster size -> bounded c x c
+    # gram matmul per cluster, one shuffle keyed on the cluster id).
+    # The replicated corpus is the worst case: every vector has
+    # rep-1 exact twins, all landing in the same cluster.
+    from s2_geometry_library_php_spark.operators.similarity import (
+        semdedup_drops,
+        semdedup_lists_for,
+    )
+
+    sd_lists = semdedup_lists_for(n_vecs)
+    _, sd_vecs = sample_training_vectors(emb_big, sd_lists)
+    sd_cents = train_ivf_centroids(sd_vecs, sd_lists)
+    timed(
+        "semdedup_drops",
+        lambda: semdedup_drops(
+            emb_big, sd_cents, threshold=0.95
+        ).count(),
+    )
+
     # candidate-fraction + recall evidence (one untimed pass each):
     # fraction of the corpus each query actually touches vs brute's
     # 1.0, and recall@10 of each scale path against the exact top-10

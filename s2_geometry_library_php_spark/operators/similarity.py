@@ -731,3 +731,139 @@ def ivf_numpy_twin(
         for r, row in enumerate(cand[order[:k]], start=1):
             rows.append((int(qid), int(ids[row]), r))
     return rows
+
+
+# --------------------------------------------------------------- SemDeDup
+def semdedup_lists_for(n_vecs: int, target_cluster: int = 1024) -> int:
+    """Cluster count for :func:`semdedup_drops`: within-cluster work
+    is quadratic in cluster size, so the list count scales LINEARLY
+    with N (fixed target cluster size) — total pairwise work is then
+    O(N * target_cluster), linear in the corpus.  (Contrast
+    :func:`ivf_lists_for`'s ~sqrt N, which balances scan-vs-probe for
+    ANN; that choice would make SemDeDup's per-cluster work grow with
+    N.)"""
+    return max(1, int(np.ceil(n_vecs / target_cluster)))
+
+
+def semdedup_drops(
+    embeddings: DataFrame,
+    centroids: np.ndarray,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient
+    learning at web-scale through semantic deduplication"): semantic
+    near-duplicate pruning via k-means clusters.  Each vector joins
+    its nearest centroid's cluster (same deterministic spherical
+    quantizer as IVF, :func:`train_ivf_centroids` — argmax cosine,
+    lowest index on ties); pairs are compared ONLY within a cluster;
+    a vector is DROPPED when a lower-id cluster-mate has rounded
+    cosine >= threshold (keep-lowest-id, the repo's keeper
+    convention — the paper keeps one representative per duplicate
+    group; which representative is a free choice and lowest-id makes
+    the result a pure function of the input).
+
+    Output: one row per dropped vector —
+    ``(vec_id, keeper_id, cluster, cosine6)`` where ``keeper_id`` is
+    the smallest qualifying lower id and ``cosine6`` the rounded
+    cosine to it.  Anti-join on ``vec_id`` to apply.
+
+    Scale shape (the 100 TB story): ONE shuffle keyed on the cluster
+    id, then one numpy gram-matrix per cluster inside
+    ``applyInPandas`` (a c x c matmul — vectorized, never a row-pair
+    SQL explosion); with ``n_lists = semdedup_lists_for(N)`` cluster
+    sizes are ~constant, so total work is O(N * target_cluster) and
+    each task is bounded.  Cross-cluster near-duplicates are NOT
+    found — the paper's approximation, inherited deliberately.
+    Centroids ride the closure (broadcast-sized: n_lists x dim).
+    """
+    cent = np.asarray(centroids, dtype=np.float64)
+    assign = ivf_assign_udf(cent)
+    schema = (
+        f"{id_col} long, keeper_id long, cluster int, cosine6 double"
+    )
+
+    def per_cluster(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = pdf[id_col].to_numpy()
+        order = np.argsort(ids)
+        ids = ids[order]
+        mat = np.stack(pdf[vec_col].to_numpy())[order].astype(np.float64)
+        mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+        sims = np.round(mat @ mat.T, ROUND)
+        hit = np.triu(sims >= threshold, 1)  # [i, j]: i < j qualifies
+        dropped = hit.any(axis=0)
+        if not dropped.any():
+            return pd.DataFrame(
+                {
+                    id_col: np.empty(0, dtype=np.int64),
+                    "keeper_id": np.empty(0, dtype=np.int64),
+                    "cluster": np.empty(0, dtype=np.int32),
+                    "cosine6": np.empty(0, dtype=np.float64),
+                }
+            )
+        j_idx = np.nonzero(dropped)[0]
+        keeper_idx = hit[:, j_idx].argmax(axis=0)  # first True = min id
+        return pd.DataFrame(
+            {
+                id_col: ids[j_idx].astype(np.int64),
+                "keeper_id": ids[keeper_idx].astype(np.int64),
+                "cluster": np.full(
+                    len(j_idx), int(pdf["_list"].iloc[0]), dtype=np.int32
+                ),
+                "cosine6": sims[keeper_idx, j_idx],
+            }
+        )
+
+    return (
+        embeddings.select(id_col, vec_col)
+        .withColumn("_list", assign(F.col(vec_col)))
+        .groupBy("_list")
+        .applyInPandas(per_cluster, schema)
+    )
+
+
+def semdedup_keep(
+    embeddings: DataFrame,
+    centroids: np.ndarray,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """``embeddings`` minus the SemDeDup drop list (left-anti join on
+    ``id_col``) — the one-call pruned corpus."""
+    drops = semdedup_drops(
+        embeddings, centroids, threshold, id_col, vec_col
+    ).select(id_col)
+    return embeddings.join(drops, id_col, "left_anti")
+
+
+def semdedup_numpy_twin(
+    ids: np.ndarray,
+    vecs: np.ndarray,
+    centroids: np.ndarray,
+    threshold: float = 0.95,
+) -> list[tuple]:
+    """Pure-numpy twin of :func:`semdedup_drops` (same assignment
+    argmax, same rounded-cosine rule, same keep-lowest-id keeper).
+    Returns sorted ``(vec_id, keeper_id, cluster, cosine6)`` rows."""
+    ids = np.asarray(ids, dtype=np.int64)
+    v = np.asarray(vecs, dtype=np.float64)
+    vn = v / np.linalg.norm(v, axis=1, keepdims=True)
+    cent = np.asarray(centroids, dtype=np.float64)
+    assign = np.argmax(vn @ cent.T, axis=1)
+    out = []
+    for c in np.unique(assign):
+        sel = np.nonzero(assign == c)[0]
+        cids = ids[sel]
+        order = np.argsort(cids)
+        cids = cids[order]
+        mat = vn[sel][order]
+        sims = np.round(mat @ mat.T, ROUND)
+        hit = np.triu(sims >= threshold, 1)
+        for j in np.nonzero(hit.any(axis=0))[0]:
+            i = hit[:, j].argmax()
+            out.append(
+                (int(cids[j]), int(cids[i]), int(c), float(sims[i, j]))
+            )
+    return sorted(out)
