@@ -358,6 +358,27 @@ def main() -> None:
         )
     )
 
+    from s2_geometry_library_php_spark.operators.similarity import (
+        sample_training_vectors,
+        semdedup_drops,
+        semdedup_lists_for,
+        train_ivf_centroids,
+    )
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    _n_emb = emb.count()
+    _sd_lists = semdedup_lists_for(_n_emb, 256)
+    _, _sd_tv = sample_training_vectors(emb, _sd_lists)
+    _sd_cents = train_ivf_centroids(_sd_tv, _sd_lists)
+    plans.append(
+        (
+            "SemDeDup drops (one shuffle keyed on the cluster id -> "
+            "FlatMapGroupsInPandas gram matmul per cluster; centroids "
+            "ride the closure, corpus scanned once)",
+            semdedup_drops(emb, _sd_cents),
+        )
+    )
+
     from s2_geometry_library_php_spark.operators.corpus_pipeline import (
         clean_corpus,
     )
