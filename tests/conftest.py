@@ -12,8 +12,16 @@ SF = "/root/testdata/sf0.001"
 def spark():
     from s2_geometry_library_php_spark.plans import get_spark
 
+    # Partition-invariance knobs: results must not depend on
+    # parallelism or shuffle fan-out, so CI-style sweeps can rerun
+    # the suite at e.g. SPARK_TESTS_MASTER=local[2]
+    # SPARK_TESTS_SHUFFLE=3 (odd counts catch boundary assumptions).
     spark = get_spark(
-        app_name="s2-tests", master="local[8]", shuffle_partitions=8
+        app_name="s2-tests",
+        master=os.environ.get("SPARK_TESTS_MASTER", "local[8]"),
+        shuffle_partitions=int(
+            os.environ.get("SPARK_TESTS_SHUFFLE", "8")
+        ),
     )
     spark.sparkContext.setLogLevel("ERROR")
     yield spark
