@@ -346,6 +346,41 @@ def _run_suite(spark, sf_dir: str) -> tuple[dict, dict]:
     n_line_pairs = timed("polyline_self_join_1k", polyline_self_join)
     extras["polyline_crossing_pairs"] = n_line_pairs
 
+    # Trajectory stats over a 2M-event stream (operators/trajectory):
+    # geodesic path/net/sinuosity per user — one window exchange, the
+    # groupBy reuses its partitioning (plan-asserted in EXPLAIN.md),
+    # every step angle inside WholeStageCodegen.
+    from s2_geometry_library_php_spark.operators.trajectory import (
+        trajectory_stats,
+    )
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev_big = (
+        ev.withColumn(
+            "rep", F.explode(F.sequence(F.lit(0), F.lit(19)))
+        )
+        .select(
+            (F.col("user_id") + F.col("rep") * F.lit(100000)).alias(
+                "user_id"
+            ),
+            "ts",
+            F.expr(
+                "(-89.9e0 + 179.8e0 * (((event_id % 100000007) * "
+                "2654435761) % 4294967296) / 4294967296e0)"
+            ).alias("lat"),
+            F.expr(
+                "(-179.9e0 + 359.8e0 * ((((event_id % 100000007) + "
+                "12345) * 2246822519) % 4294967296) / 4294967296e0)"
+            ).alias("lon"),
+        )
+    )
+    timed(
+        "trajectory_stats_2m",
+        lambda: trajectory_stats(ev_big)
+        .agg(F.sum("path_rad"), F.count(F.lit(1)))
+        .first()[1],
+    )
+
     # k-nearest-regions through the two-level rect-block prune: 30k cap
     # regions (summaries built driver-side each sample — the honest
     # index-build cost), 100 probes, k=10.
