@@ -358,6 +358,27 @@ def main() -> None:
         )
     )
 
+    from s2_geometry_library_php_spark.operators.trajectory import (
+        trajectory_stats,
+    )
+
+    plans.append(
+        (
+            "trajectory stats (ONE exchange: window partitionBy "
+            "entity, step angles native in WholeStageCodegen, the "
+            "groupBy reuses the window's hash partitioning — "
+            "SortAggregate rides the window's existing sort)",
+            trajectory_stats(
+                raw_docs.select(
+                    (F.col("doc_id") % 100).alias("user_id"),
+                    F.col("doc_id").alias("ts"),
+                    F.col("lat"),
+                    F.col("lon"),
+                )
+            ),
+        )
+    )
+
     from s2_geometry_library_php_spark.operators.similarity import (
         sample_training_vectors,
         semdedup_drops,
