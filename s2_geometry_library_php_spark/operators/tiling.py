@@ -616,3 +616,52 @@ def read_tile_partition(
         )
     )[0]
     return spark.read.parquet(path).where(F.col("tile_pfx") == tok)
+
+
+def smooth_tile_values(
+    tiles: DataFrame,
+    value_col: str = "doc_count",
+    tile_col: str = "tile_id",
+    center_weight: float = 0.5,
+) -> DataFrame:
+    """Discrete kernel smoothing on the S2 grid (raster analytics —
+    heatmap/density smoothing over tile aggregates): each tile keeps
+    ``center_weight`` of its mass and splits the remainder EQUALLY
+    among its same-level all-neighbors (8 everywhere except the 24
+    cube-corner cells, which have 7 — the split uses the actual
+    count, so total mass is conserved EXACTLY up to float addition:
+    the sphere has no raster edge to lose mass over).
+
+    Output: ``(tile_id, smoothed)`` — every tile that holds mass
+    after smoothing, including ring tiles absent from the input
+    (their input mass is 0).  Iterate for wider kernels.
+
+    Scale shape: one Arrow neighbor expansion (<=9 rows per input
+    tile), one hash ``groupBy(tile)`` with map-side partial
+    aggregation — the same equi-join/groupBy skeleton as every tile
+    rollup; no geometry at aggregation time.
+    """
+    from ..functions.udfs import s2_all_neighbors_udf
+
+    t = tiles.select(
+        F.col(tile_col).alias("_t"),
+        F.col(value_col).cast("double").alias("_v"),
+        s2_all_neighbors_udf(F.col(tile_col)).alias("_nb"),
+    ).withColumn("_k", F.size("_nb"))
+    center = t.select(
+        F.col("_t").alias(tile_col),
+        (F.col("_v") * F.lit(float(center_weight))).alias("_m"),
+    )
+    spread = t.select(
+        F.explode("_nb").alias(tile_col),
+        (
+            F.col("_v")
+            * F.lit(1.0 - float(center_weight))
+            / F.col("_k")
+        ).alias("_m"),
+    )
+    return (
+        center.unionByName(spread)
+        .groupBy(tile_col)
+        .agg(F.sum("_m").alias("smoothed"))
+    )
