@@ -26,9 +26,18 @@ Everything is a chain of native ``regexp_replace`` / ``regexp_count``
 expressions — JVM-side, whole-stage codegen, zero Python in the hot
 path — with exact DuckDB twins for oracle checks.  The patterns use
 only the regex subset where Java's engine and RE2 agree byte-for-byte
-(character classes, bounded repetition, ``\\b``, non-capturing
-groups; no lookaround, no backreferences), so the Spark output and
-the DuckDB twin are identical on any input.
+(character classes, bounded repetition, capturing groups with
+capture-and-restore replacement; no lookaround, no pattern
+backreferences) — NOT ``\\b``: Java's word boundary is
+Unicode-aware (``é`` is a word char, so ``é555`` has no boundary)
+while RE2's is ASCII-only, a divergence the hypothesis fuzz caught
+on digit runs adjacent to non-ASCII letters.  Boundaries are
+therefore explicit ASCII context classes ``(^|[^0-9A-Za-z_])``
+captured and re-inserted by the replacement ($1 in Java, \\1 in
+RE2), so the Spark output and the DuckDB twin are identical on any
+input.  (Consequence, identical in both engines: two PII spans
+separated by a single character share one context char and only the
+first is redacted in that pass.)
 
 Scale shape: a per-row projection that rides the ingest scan — no
 shuffle, no UDF.  Counting twins (:func:`pii_count_columns`) let a
@@ -45,23 +54,36 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-#: (name, pattern, replacement) — applied in order; patterns restrict
-#: themselves to the Java-regex ∩ RE2 common subset (module docstring)
-PII_RULES: tuple[tuple[str, str, str], ...] = (
+#: (name, pattern, spark_replacement, duckdb_replacement) — applied
+#: in order; patterns restrict themselves to the Java-regex ∩ RE2
+#: common subset (module docstring).  Context boundaries are explicit
+#: ASCII classes captured and restored by the replacement (the two
+#: engines' backref syntax differs: $n vs \n), never ``\b``.
+#: Rules may repeat a name (phone has two forms); counts sum by name.
+PII_RULES: tuple[tuple[str, str, str, str], ...] = (
     (
         "email",
         r"[A-Za-z0-9._%+\-]+@[A-Za-z0-9\-]+(?:\.[A-Za-z0-9\-]+)*\.[A-Za-z]{2,}",
         "<EMAIL>",
+        "<EMAIL>",
     ),
     (
         "ipv4",
-        r"\b(?:\d{1,3}\.){3}\d{1,3}\b",
-        "<IP>",
+        r"(^|[^0-9A-Za-z_.])((?:\d{1,3}\.){3}\d{1,3})($|[^0-9A-Za-z_.])",
+        "$1<IP>$3",
+        r"\1<IP>\3",
     ),
     (
         "phone",
-        r"\b\d{3}[ \-]\d{3,4}[ \-]\d{4}\b|\+\d{7,15}\b",
-        "<PHONE>",
+        r"(^|[^0-9A-Za-z_])(\d{3}[ \-]\d{3,4}[ \-]\d{4})($|[^0-9A-Za-z_])",
+        "$1<PHONE>$3",
+        r"\1<PHONE>\3",
+    ),
+    (
+        "phone",
+        r"(\+\d{7,15})($|[^0-9A-Za-z_])",
+        "<PHONE>$2",
+        r"<PHONE>\2",
     ),
 )
 
@@ -71,7 +93,7 @@ def redact_pii_column(text_col) -> Column:
     placeholder — one native ``regexp_replace`` per rule, applied in
     the documented order."""
     out = F.col(text_col) if isinstance(text_col, str) else text_col
-    for _, pattern, repl in PII_RULES:
+    for _, pattern, repl, _duck in PII_RULES:
         out = F.regexp_replace(out, pattern, repl)
     return out
 
@@ -79,13 +101,15 @@ def redact_pii_column(text_col) -> Column:
 def pii_count_columns(text_col) -> dict[str, Column]:
     """Per-type span counts on the ORIGINAL text (``n_email``,
     ``n_ipv4``, ``n_phone``) — native ``regexp_count``, same
-    patterns.  Count before redacting: after replacement the spans
-    are gone."""
+    patterns (same-name rules sum).  Count before redacting: after
+    replacement the spans are gone."""
     col = F.col(text_col) if isinstance(text_col, str) else text_col
-    return {
-        f"n_{name}": F.regexp_count(col, F.lit(pattern))
-        for name, pattern, _ in PII_RULES
-    }
+    out: dict[str, Column] = {}
+    for name, pattern, _repl, _duck in PII_RULES:
+        c = F.regexp_count(col, F.lit(pattern))
+        key = f"n_{name}"
+        out[key] = (out[key] + c) if key in out else c
+    return out
 
 
 def redact_pii_duckdb(text_expr: str) -> str:
@@ -93,21 +117,23 @@ def redact_pii_duckdb(text_expr: str) -> str:
     text ('g' flag matches Spark's always-global replace; patterns
     are single-quote-free so plain literal embedding is safe)."""
     out = text_expr
-    for _, pattern, repl in PII_RULES:
-        out = f"regexp_replace({out}, '{pattern}', '{repl}', 'g')"
+    for _, pattern, _repl, duck_repl in PII_RULES:
+        out = f"regexp_replace({out}, '{pattern}', '{duck_repl}', 'g')"
     return out
 
 
 def pii_count_duckdb(text_expr: str) -> dict[str, str]:
     """DuckDB twins of :func:`pii_count_columns` (RE2
-    ``regexp_extract_all`` list length == Spark ``regexp_count``)."""
-    return {
-        f"n_{name}": (
-            f"CAST(len(regexp_extract_all({text_expr}, '{pattern}')) "
-            f"AS INTEGER)"
+    ``regexp_extract_all`` list length == Spark ``regexp_count``;
+    same-name rules sum)."""
+    out: dict[str, str] = {}
+    for name, pattern, _repl, _duck in PII_RULES:
+        term = (
+            f"len(regexp_extract_all({text_expr}, '{pattern}'))"
         )
-        for name, pattern, _ in PII_RULES
-    }
+        key = f"n_{name}"
+        out[key] = f"{out[key]} + {term}" if key in out else term
+    return {k: f"CAST({v} AS INTEGER)" for k, v in out.items()}
 
 
 def synth_pii_text_sql(id_col: str = "doc_id") -> str:

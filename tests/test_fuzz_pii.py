@@ -32,7 +32,7 @@ FRAGMENTS = st.sampled_from(
         "@b.co",             # no local part
         "x.y%z+w@host.io",
         "1.2.3.4",
-        "1.2.3.4.5",         # 5th octet: first four still redact
+        "1.2.3.4.5",         # 5-part dotted run: not an IPv4, survives
         "999.999.999.999",   # syntactically an IPv4 per the rule
         "1.2.3",             # 3 octets — not an IP
         "555-123-4567",
