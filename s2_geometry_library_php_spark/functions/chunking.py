@@ -28,6 +28,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from .text import WS_CLASS
+
 DEFAULT_WINDOW = 256
 DEFAULT_STRIDE = 192
 
@@ -47,7 +49,7 @@ def chunk_documents(
             f"window={window}"
         )
     w, s = int(window), int(stride)
-    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    toks = F.split(F.trim(F.col(text_col)), WS_CLASS + "+")
     # trim+split gives [''] on empty text; keep its single empty chunk
     n = F.size(toks)
     # window starts: 0, s, 2s, ... while start < n and (first window
@@ -89,7 +91,7 @@ def chunk_documents_duckdb(
 ) -> str:
     """DuckDB twin of :func:`chunk_documents` for oracle checks."""
     w, s = int(window), int(stride)
-    toks = f"regexp_split_to_array(trim({text_col}), '\\s+')"
+    toks = f"regexp_split_to_array(trim({text_col}), '{WS_CLASS}+')"
     return f"""
 WITH base AS (
   SELECT doc_id, {toks} AS toks, len({toks}) AS n FROM {table}

@@ -23,7 +23,15 @@ LANG_MARKERS: dict[str, list[str]] = {
 
 STOPWORDS = LANG_MARKERS["en"]
 
-TOKEN_REGEX = "[A-Za-z0-9]+|[^A-Za-z0-9\\s]"  # word or single punct (BPE-ish)
+#: Java's ``\s`` and RE2's ``\s`` DISAGREE on vertical tab (\x0B is
+#: whitespace to Java only — same class of divergence as the PII
+#: ``\b`` fix), so every cross-engine expression spells the
+#: whitespace set explicitly: Java's set, parsed identically by both
+#: engines.
+WS_CLASS = "[ \\t\\n\\x0b\\f\\r]"
+#: word or single punct (BPE-ish); the negated class excludes the
+#: explicit whitespace set, not ``\s``
+TOKEN_REGEX = "[A-Za-z0-9]+|[^A-Za-z0-9 \\t\\n\\x0b\\f\\r]"
 
 
 def _quote_list_sql(words: list[str]) -> str:
@@ -238,16 +246,21 @@ def token_count_duckdb(text_col: str = "text") -> str:
 
 
 def whitespace_token_count_column(text_col: str = "text") -> Column:
-    return F.size(F.split(F.col(text_col), "\\s+")).cast("long")
+    return F.size(F.split(F.col(text_col), WS_CLASS + "+")).cast("long")
 
 
 # --- fingerprinting -----------------------------------------------------------------
 def fingerprint_column(text_col: str = "text") -> Column:
     """Normalized-text content fingerprint (md5 of whitespace-collapsed
-    lowercase text) — the exact-dedup / near-dup anchor key."""
-    norm = F.regexp_replace(F.lower(F.col(text_col)), "\\s+", " ")
+    lowercase text) — the exact-dedup / near-dup anchor key.
+    Whitespace is the explicit cross-engine class (``WS_CLASS``),
+    never ``\\s`` (vertical-tab divergence)."""
+    norm = F.regexp_replace(F.lower(F.col(text_col)), WS_CLASS + "+", " ")
     return F.md5(F.trim(norm).cast("binary"))
 
 
 def fingerprint_duckdb(text_col: str = "text") -> str:
-    return f"md5(trim(regexp_replace(lower({text_col}), '\\s+', ' ', 'g')))"
+    return (
+        f"md5(trim(regexp_replace(lower({text_col}), "
+        f"'{WS_CLASS}+', ' ', 'g')))"
+    )

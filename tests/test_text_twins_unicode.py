@@ -49,6 +49,8 @@ ADVERSARIAL = [
     "MiXeD CaSe The AND Of",
     " leading and trailing ",
     "num3r1c 123 456 789",
+    "vertical\x0btab\x0bdoc",        # Java \s vs RE2 \s divergence probe
+    "mixed \x0b \f \r ws\x0b",       # every Java-\s char explicitly
     "punct-heavy: a,b;c.d!e?f(g)h[i]j",
     "éèê accents café déjà",
     "russian-translit i v ne na chto",
