@@ -1895,10 +1895,14 @@ FROM r WHERE rnk <= 3
     # simhash (same python algorithm as the UDF)
     import hashlib
 
+    from s2_geometry_library_php_spark.functions.text import (
+        ascii_lower_py as _alp,
+    )
+
     def simhash_one(t: str) -> int:
         if not t:
             return 0
-        words = t.lower().split(" ")
+        words = _alp(t).split(" ")
         hashes = np.frombuffer(
             b"".join(hashlib.md5(w.encode()).digest()[:8] for w in words),
             dtype=">u8",

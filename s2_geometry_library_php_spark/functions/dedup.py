@@ -28,6 +28,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import ArrayType, LongType, StringType
 
+from .text import ascii_lower_py
+
 NUM_HASHES = 16  # MinHash signature length (oracle default)
 BANDS = 4  # LSH bands (rows per band = NUM_HASHES / BANDS)
 SHINGLE = 3  # words per shingle
@@ -70,8 +72,12 @@ def calibrate_banding(
 
 # --- shared shingle SQL (Spark) -------------------------------------------------
 def shingles_column(text_col: str = "text"):
-    """Distinct 3-word shingles as an array column (native)."""
-    w = F.split(F.lower(F.col(text_col)), " ")
+    """Distinct 3-word shingles as an array column (native).
+    ASCII-lower normalization (functions/text.ascii_lower_*): the
+    engines' Unicode lower() mappings disagree (full vs simple)."""
+    from .text import ascii_lower_column
+
+    w = F.split(ascii_lower_column(text_col), " ")
     n = F.size(w)
     sh = F.transform(
         F.sequence(F.lit(1), F.greatest(n - F.lit(SHINGLE - 1), F.lit(1))),
@@ -81,9 +87,12 @@ def shingles_column(text_col: str = "text"):
 
 
 def shingles_duckdb(text_col: str = "text") -> str:
+    from .text import ascii_lower_duckdb
+
+    lo = ascii_lower_duckdb(text_col)
     return (
-        f"list_distinct(list_transform(range(1, greatest(len(string_split(lower({text_col}), ' ')) - {SHINGLE - 2}, 2)), "
-        f"i -> array_to_string(string_split(lower({text_col}), ' ')[i:i+{SHINGLE - 1}], ' ')))"
+        f"list_distinct(list_transform(range(1, greatest(len(string_split({lo}, ' ')) - {SHINGLE - 2}, 2)), "
+        f"i -> array_to_string(string_split({lo}, ' ')[i:i+{SHINGLE - 1}], ' ')))"
     )
 
 
@@ -221,7 +230,7 @@ def minhash_signature_udf(text: pd.Series) -> pd.Series:
         if not t:
             shingled.append([])
             continue
-        words = t.lower().split(" ")
+        words = ascii_lower_py(t).split(" ")
         m = max(len(words) - (SHINGLE - 1), 1)
         shingled.append(
             sorted({" ".join(words[i : i + SHINGLE]) for i in range(m)})
@@ -282,7 +291,7 @@ def simhash64_udf(text: pd.Series) -> pd.Series:
     n = len(text)
     if n == 0:
         return pd.Series([], dtype="int64")
-    tokenized = [t.lower().split(" ") if t else [] for t in text]
+    tokenized = [ascii_lower_py(t).split(" ") if t else [] for t in text]
     lengths = np.fromiter((len(w) for w in tokenized), dtype=np.int64, count=n)
     flat: list[str] = [w for ws in tokenized for w in ws]
     out = np.zeros(n, dtype=np.int64)

@@ -49,7 +49,7 @@ from ..operators.sampling import (
     sample_priority_column,
     sample_priority_duckdb,
 )
-from .urltools import _SCHEME
+from .urltools import _ALO, _AUP, _SCHEME
 
 #: default phase-1 fan-out; 32 matches the test parallelism, and on a
 #: cluster anything >= the per-host row count / executor memory ratio
@@ -63,8 +63,12 @@ def host_column(url_col) -> Column:
     first path-ish segment so synthetic fixtures without ``://``
     still group sensibly."""
     u = F.col(url_col) if isinstance(url_col, str) else url_col
-    with_scheme = F.lower(F.regexp_extract(u, rf"^{_SCHEME}://([^/?#]*)", 1))
-    bare = F.lower(F.regexp_extract(u, r"^([^/?#]*)", 1))
+    with_scheme = F.translate(
+        F.regexp_extract(u, rf"^{_SCHEME}://([^/?#]*)", 1), _AUP, _ALO
+    )
+    bare = F.translate(
+        F.regexp_extract(u, r"^([^/?#]*)", 1), _AUP, _ALO
+    )
     host = F.when(with_scheme != "", with_scheme).otherwise(bare)
     return F.regexp_replace(host, r"^www\.", "")
 
@@ -72,8 +76,14 @@ def host_column(url_col) -> Column:
 def host_duckdb(url_expr: str) -> str:
     """DuckDB twin of :func:`host_column` (RE2 regexes; DuckDB
     ``regexp_extract`` returns '' on no-match, same as Spark)."""
-    w = rf"lower(regexp_extract({url_expr}, '^{_SCHEME}://([^/?#]*)', 1))"
-    b = rf"lower(regexp_extract({url_expr}, '^([^/?#]*)', 1))"
+    w = (
+        rf"translate(regexp_extract({url_expr}, "
+        rf"'^{_SCHEME}://([^/?#]*)', 1), '{_AUP}', '{_ALO}')"
+    )
+    b = (
+        rf"translate(regexp_extract({url_expr}, '^([^/?#]*)', 1), "
+        rf"'{_AUP}', '{_ALO}')"
+    )
     h = f"CASE WHEN {w} <> '' THEN {w} ELSE {b} END"
     return f"regexp_replace({h}, '^www\\.', '', 'g')"
 

@@ -33,6 +33,30 @@ WS_CLASS = "[ \\t\\n\\x0b\\f\\r]"
 #: explicit whitespace set, not ``\s``
 TOKEN_REGEX = "[A-Za-z0-9]+|[^A-Za-z0-9 \\t\\n\\x0b\\f\\r]"
 
+#: Unicode case mapping ALSO diverges between engines: Java/Spark
+#: applies FULL mappings (U+0130 'İ' -> 'i' + combining dot, 2 code
+#: points; context-sensitive Greek final sigma), DuckDB's utf8proc
+#: applies SIMPLE per-codepoint mappings, and Python sits between
+#: (full İ, no final sigma).  Every cross-engine normalization
+#: therefore lowercases ASCII ONLY via translate — identical in all
+#: three engines, and for URL hosts also the RFC-correct rule.
+ASCII_UPPER = "ABCDEFGHIJKLMNOPQRSTUVWXYZ"
+ASCII_LOWER = "abcdefghijklmnopqrstuvwxyz"
+_ASCII_LOWER_TABLE = str.maketrans(ASCII_UPPER, ASCII_LOWER)
+
+
+def ascii_lower_column(col) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.translate(c, ASCII_UPPER, ASCII_LOWER)
+
+
+def ascii_lower_duckdb(expr: str) -> str:
+    return f"translate({expr}, '{ASCII_UPPER}', '{ASCII_LOWER}')"
+
+
+def ascii_lower_py(s: str) -> str:
+    return s.translate(_ASCII_LOWER_TABLE)
+
 
 def _quote_list_sql(words: list[str]) -> str:
     return ", ".join(f"'{w}'" for w in words)
@@ -43,9 +67,10 @@ def lang_id_sql_spark(text_col: str = "text") -> str:
     """argmax of marker-word votes; CJK codepoints force 'zh';
     all-zero votes -> 'und'."""
     votes = []
+    lowered = f"translate({text_col}, '{ASCII_UPPER}', '{ASCII_LOWER}')"
     for lang, markers in LANG_MARKERS.items():
         votes.append(
-            f"size(filter(split(lower({text_col}), ' '), "
+            f"size(filter(split({lowered}, ' '), "
             f"w -> array_contains(array({_quote_list_sql(markers)}), w))) AS v_{lang}"
         )
     return votes
@@ -58,7 +83,7 @@ def _membership(markers: list[str]):
 
 
 def lang_id_column(text_col: str = "text") -> Column:
-    words = F.split(F.lower(F.col(text_col)), " ")
+    words = F.split(ascii_lower_column(text_col), " ")
     votes = {
         lang: F.size(F.filter(words, _membership(markers)))
         for lang, markers in LANG_MARKERS.items()
@@ -82,7 +107,8 @@ def lang_id_duckdb(text_col: str = "text") -> str:
     argmax: later language in fixed order wins ties at strict >)."""
     vote = {
         lang: (
-            f"len(list_filter(string_split(lower({text_col}), ' '), "
+            f"len(list_filter(string_split("
+            f"{ascii_lower_duckdb(text_col)}, ' '), "
             f"w -> list_contains([{_quote_list_sql(m)}], w)))"
         )
         for lang, m in LANG_MARKERS.items()
@@ -255,12 +281,14 @@ def fingerprint_column(text_col: str = "text") -> Column:
     lowercase text) — the exact-dedup / near-dup anchor key.
     Whitespace is the explicit cross-engine class (``WS_CLASS``),
     never ``\\s`` (vertical-tab divergence)."""
-    norm = F.regexp_replace(F.lower(F.col(text_col)), WS_CLASS + "+", " ")
+    norm = F.regexp_replace(
+        ascii_lower_column(text_col), WS_CLASS + "+", " "
+    )
     return F.md5(F.trim(norm).cast("binary"))
 
 
 def fingerprint_duckdb(text_col: str = "text") -> str:
     return (
-        f"md5(trim(regexp_replace(lower({text_col}), "
+        f"md5(trim(regexp_replace({ascii_lower_duckdb(text_col)}, "
         f"'{WS_CLASS}+', ' ', 'g')))"
     )

@@ -49,6 +49,8 @@ TRACKING_KEY_PATTERN = (
 
 #: scheme pattern per RFC 3986 (letter then letters/digits/+/-/.)
 _SCHEME = r"[A-Za-z][A-Za-z0-9+.\-]*"
+_AUP = "ABCDEFGHIJKLMNOPQRSTUVWXYZ"
+_ALO = "abcdefghijklmnopqrstuvwxyz"
 
 
 def canonical_url_column(url_col) -> Column:
@@ -68,7 +70,13 @@ def canonical_url_column(url_col) -> Column:
     u = F.regexp_replace(u, r"/$", "")
     # 5. scheme + host normalization
     scheme = F.lower(F.regexp_extract(u, rf"^({_SCHEME})://", 1))
-    host = F.lower(F.regexp_extract(u, rf"^{_SCHEME}://([^/?#]*)", 1))
+    # ASCII-only host lowering (ascii_lower_column rationale,
+    # functions/text.py): engine Unicode lower() mappings disagree,
+    # and RFC host comparison is ASCII-case-insensitive anyway
+    host = F.translate(
+        F.regexp_extract(u, rf"^{_SCHEME}://([^/?#]*)", 1),
+        _AUP, _ALO,
+    )
     host = F.regexp_replace(host, r"^www\.", "")
     host = F.when(scheme == "http", F.regexp_replace(host, r":80$", "")) \
         .when(scheme == "https", F.regexp_replace(host, r":443$", "")) \
@@ -92,7 +100,10 @@ def canonical_url_duckdb(url_expr: str) -> str:
     u = f"regexp_replace({u}, '/\\?', '?', 'g')"
     u = f"regexp_replace({u}, '/$', '', 'g')"
     s = rf"lower(regexp_extract({u}, '^({_SCHEME})://', 1))"
-    h = rf"lower(regexp_extract({u}, '^{_SCHEME}://([^/?#]*)', 1))"
+    h = (
+        rf"translate(regexp_extract({u}, '^{_SCHEME}://([^/?#]*)', 1), "
+        rf"'{_AUP}', '{_ALO}')"
+    )
     h = f"regexp_replace({h}, '^www\\.', '', 'g')"
     h = (
         f"CASE WHEN {s} = 'http' THEN regexp_replace({h}, ':80$', '', 'g') "

@@ -51,6 +51,9 @@ ADVERSARIAL = [
     "num3r1c 123 456 789",
     "vertical\x0btab\x0bdoc",        # Java \s vs RE2 \s divergence probe
     "mixed \x0b \f \r ws\x0b",       # every Java-\s char explicitly
+    "İstanbul THE and OF",      # dotted capital I: full-vs-simple lower
+    "ΒΣ xΣ σς THE",                  # Greek final sigma context rule
+    "STRASSE ẞ ß The And",           # sharp s family
     "punct-heavy: a,b;c.d!e?f(g)h[i]j",
     "éèê accents café déjà",
     "russian-translit i v ne na chto",
